@@ -1,0 +1,254 @@
+"""Typed configuration for the TPU-native SLAM engine.
+
+Every magic number of the reference system (worxli/ORB_SLAM) becomes a named
+field with the reference value as default.  Citations are file:line into the
+reference tree (see SURVEY.md §5.6 for the catalogue).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera + radial-tangential distortion.
+
+    Reference: Data/Settings.yaml:6-22, parsed at src/Tracking.cc:52-76.
+    Defaults are the reference example sequence's calibration.
+    """
+
+    fx: float = 646.83766
+    fy: float = 646.61414
+    cx: float = 355.05657
+    cy: float = 221.66888
+    # Distortion k1, k2, p1, p2, k3 (OpenCV order, Settings.yaml:13-17).
+    k1: float = 0.148805
+    k2: float = -0.317586
+    p1: float = -0.002859
+    p2: float = 0.000229
+    k3: float = 0.0
+    width: int = 752
+    height: int = 480
+    fps: float = 30.0
+    rgb: bool = True  # Camera.RGB ordering flag (Settings.yaml:22)
+
+    @property
+    def K(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+    @property
+    def dist(self) -> np.ndarray:
+        return np.array([self.k1, self.k2, self.p1, self.p2, self.k3], dtype=np.float32)
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(d) > 0 for d in (self.k1, self.k2, self.p1, self.p2, self.k3))
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractorConfig:
+    """ORB extractor parameters.
+
+    Reference: Data/Settings.yaml:28-40, ORBextractor ctor src/ORBextractor.cc:457-511.
+    """
+
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    fast_threshold: int = 20        # ORBextractor.fastTh (Settings.yaml:37)
+    fast_threshold_min: int = 7     # fallback threshold (ORBextractor.cc:607-614)
+    score_harris: bool = False      # nScoreType 0=Harris 1=FAST (Settings.yaml:40)
+    edge_threshold: int = 16        # border margin (ORBextractor.h EDGE_THRESHOLD)
+    patch_size: int = 31            # descriptor patch (ORBextractor.cc HALF_PATCH 15)
+    init_features_mult: int = 2     # 2x features during init (src/Tracking.cc:128)
+    # Static capacity: keypoint slots per frame (n_features padded to a TPU-
+    # friendly multiple of 128; unused slots are masked).
+    max_keypoints: int = 1024
+    # grid cells along x/y per level for quota distribution
+    # (reference sizes cells so ~5 features land in each; ORBextractor.cc:527-547)
+    cells_x: int = 16
+    cells_y: int = 10
+
+    @property
+    def scale_factors(self) -> np.ndarray:
+        return self.scale_factor ** np.arange(self.n_levels, dtype=np.float32)
+
+    @property
+    def sigma2(self) -> np.ndarray:
+        f = self.scale_factors
+        return (f * f).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Data-association thresholds (src/ORBmatcher.cc:40-42 and call sites)."""
+
+    th_high: int = 100              # TH_HIGH
+    th_low: int = 50                # TH_LOW
+    histo_length: int = 30          # rotation histogram bins
+    nn_ratio_tracking: float = 0.9  # Tracking.cc matcher ctor args
+    nn_ratio_init: float = 0.9      # SearchForInitialization
+    check_orientation: bool = True
+    window_init: int = 100          # init window search (Tracking.cc:362)
+    window_prev_frame: int = 200    # TrackPreviousFrame first window (Tracking.cc:504)
+    search_radius_th: float = 3.0   # SearchByProjection base radius th (ORBmatcher.cc:49)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Tracking state-machine thresholds (src/Tracking.cc)."""
+
+    min_init_keypoints: int = 100     # FirstInitialization needs >100 kp (Tracking.cc:333)
+    min_init_matches: int = 100       # SearchForInitialization >=100 (Tracking.cc:368)
+    min_track_inliers: int = 10       # TrackPreviousFrame/MotionModel success (Tracking.cc:252)
+    min_localmap_inliers: int = 30    # TrackLocalMap success (Tracking.cc:641-647)
+    min_localmap_inliers_reloc: int = 50  # stricter shortly after reloc
+    reloc_recent_frames_mult: int = 2     # "recent" = 2*fps frames after reloc
+    max_local_keyframes: int = 80     # local KF cap (Tracking.cc:819)
+    min_frames_between_kf: int = 0    # mMinFrames (Tracking.cc:78)
+    max_frames_between_kf: int = 18   # mMaxFrames = 18*fps/30 (Tracking.cc:79)
+    kf_min_tracked_ratio: float = 0.9  # need-new-KF: tracked < 90% of ref KF (Tracking.cc:672)
+    kf_min_tracked: int = 50          # and at least 50 tracked points
+    reset_if_lost_before_kfs: int = 5  # early-failure full reset (Tracking.cc:278-285)
+    use_motion_model: bool = True     # UseMotionModel flag (Settings.yaml:44)
+
+
+@dataclasses.dataclass(frozen=True)
+class InitializerConfig:
+    """Two-view bootstrap (src/Initializer.cc)."""
+
+    sigma: float = 1.0
+    ransac_iterations: int = 200     # Initializer ctor (Tracking.cc:341)
+    sample_size: int = 8
+    rh_threshold: float = 0.40       # model-select ratio (Initializer.cc:110-116)
+    min_triangulated: int = 50       # ReconstructF winner floor (Initializer.cc:522)
+    min_parallax_deg: float = 1.0    # parallax gate (Initializer.cc:486)
+    h_second_best_ratio: float = 0.75  # ReconstructH best-vs-second (Initializer.cc:700)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Optimization budgets (src/Optimizer.cc)."""
+
+    # Pose-only optimization: 4 rounds x its with chi2 gates (Optimizer.cc:242-243)
+    pose_rounds: Tuple[int, ...] = (10, 10, 7, 5)
+    pose_chi2: Tuple[float, ...] = (9.21, 7.38, 5.991, 5.991)
+    huber_delta2: float = 5.991      # Huber delta^2 for BA edges (Optimizer.cc:118)
+    local_ba_iters1: int = 5         # LocalBundleAdjustment first pass (Optimizer.cc:450)
+    local_ba_iters2: int = 10        # second pass (Optimizer.cc:494)
+    local_ba_chi2: float = 5.991     # outlier gate between passes
+    global_ba_iters: int = 20        # init BA (Tracking.cc:448)
+    essential_graph_iters: int = 20  # pose graph (Optimizer.cc:734)
+    sim3_iters1: int = 5             # OptimizeSim3 (Optimizer.cc:791-987)
+    sim3_iters2: int = 10
+    sim3_chi2: float = 10.0
+    lm_lambda_init: float = 1e-4     # LM damping seed (g2o default; essential graph 1e-16)
+    # EPnP RANSAC (SetRansacParameters at Tracking.cc:922)
+    pnp_prob: float = 0.99
+    pnp_min_inliers: int = 10
+    pnp_max_iters: int = 300
+    pnp_min_set: int = 4
+    pnp_epsilon: float = 0.5
+    pnp_th2: float = 5.991
+    # Sim3 RANSAC (LoopClosing.cc:276)
+    sim3_prob: float = 0.99
+    sim3_min_inliers: int = 20
+    sim3_max_iters: int = 300
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalMappingConfig:
+    """Keyframe-rate map building (src/LocalMapping.cc)."""
+
+    culling_min_found_ratio: float = 0.25   # MapPointCulling (:190-218)
+    culling_obs_window_kfs: int = 2
+    culling_min_obs: int = 2                # actually 3 obs required after 2 KFs (mono)
+    triangulation_neighbor_kfs: int = 20    # CreateNewMapPoints (:227)
+    min_baseline_depth_ratio: float = 0.01  # baseline/medianDepth gate (:262)
+    epipolar_chi2: float = 3.84             # SearchForTriangulation gate (ORBmatcher.cc:150)
+    reproj_chi2: float = 5.991              # triangulation reprojection gate (:340)
+    kf_culling_redundancy: float = 0.9      # KeyFrameCulling 90% rule (:539-593)
+    kf_culling_min_obs: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop detection / correction (src/LoopClosing.cc, KeyFrameDatabase.cc)."""
+
+    min_kfs_between_loops: int = 10     # gate (:111)
+    consistency_threshold: int = 3      # consecutive-KF consistency (:152-228)
+    covisibility_consistency_th: int = 3
+    min_bow_matches: int = 20           # SearchByBoW gate (:300)
+    min_sim3_inliers: int = 20          # OptimizeSim3 gate (:328)
+    min_total_matches: int = 40         # final accept (:391)
+    shared_word_ratio: float = 0.8      # KeyFrameDatabase (:128)
+    acc_score_ratio: float = 0.75       # (:172)
+    covisibility_group_top: int = 10
+    covisibility_weight_strong: int = 100  # essential graph strong edges (Optimizer.cc:604)
+    covisibility_weight_min: int = 15      # UpdateConnections threshold (KeyFrame.cc:378)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed SoA capacities (replaces std::set + new/delete with masked pools)."""
+
+    max_keyframes: int = 512
+    max_points: int = 32768
+    max_obs_per_kf: int = 1024          # == ExtractorConfig.max_keypoints
+    max_obs_per_point: int = 64         # observation list cap per landmark
+    local_ba_max_kfs: int = 64          # local BA window capacity
+    local_ba_max_fixed: int = 64
+    local_ba_max_points: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for scale-out (SURVEY.md §2.3 / §7 phase 10)."""
+
+    data_axis: str = "data"          # shard landmark blocks
+    model_axis: str = "model"        # shard keyframe blocks
+    data_parallel: int = 1
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    extractor: ExtractorConfig = dataclasses.field(default_factory=ExtractorConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    initializer: InitializerConfig = dataclasses.field(default_factory=InitializerConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    local_mapping: LocalMappingConfig = dataclasses.field(default_factory=LocalMappingConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    seed: int = 0
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tum_freiburg1_config(width: int = 640, height: int = 480) -> SystemConfig:
+    """Calibration for TUM RGB-D freiburg1 sequences (public benchmark values)."""
+    cam = CameraConfig(
+        fx=517.306408, fy=516.469215, cx=318.643040, cy=255.313989,
+        k1=0.262383, k2=-0.953104, p1=-0.005358, p2=0.002628, k3=1.163314,
+        width=width, height=height, fps=30.0,
+    )
+    return SystemConfig(camera=cam)
+
+
+def tum_freiburg2_config(width: int = 640, height: int = 480) -> SystemConfig:
+    cam = CameraConfig(
+        fx=520.908620, fy=521.007327, cx=325.141442, cy=249.701764,
+        k1=0.231222, k2=-0.784899, p1=-0.003257, p2=-0.000105, k3=0.917205,
+        width=width, height=height, fps=30.0,
+    )
+    return SystemConfig(camera=cam)

@@ -1,0 +1,1 @@
+from . import se3, sim3, camera  # noqa: F401
