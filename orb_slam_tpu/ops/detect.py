@@ -1,0 +1,82 @@
+"""Keypoint selection: per-cell top-k then global top-k, fully batched.
+
+Replaces the reference's per-cell quota distribution with starving-cell
+redistribution and retainBest (src/ORBextractor.cc:522-707).  The semantics
+preserved:
+  * spatial spread — each grid cell contributes at most `per_cell` keypoints,
+  * threshold fallback — the FAST score *is* the max passing threshold, so
+    descending-score order prefers th-20 corners and falls back to th-7 ones
+    exactly like the reference's two-pass detection,
+  * retainBest — the final global top-k keeps the strongest `n_total`.
+
+Everything is static-shape: selection returns fixed-size index arrays with a
+validity mask (score > 0).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set for one pyramid level."""
+
+    xy: jnp.ndarray        # [N, 2] float32 (x, y) in level coordinates
+    response: jnp.ndarray  # [N] float32
+    valid: jnp.ndarray     # [N] bool
+
+
+def select_keypoints(
+    score: jnp.ndarray,
+    n_total: int,
+    cells_y: int,
+    cells_x: int,
+    per_cell: int,
+) -> Keypoints:
+    """score: [H, W] NMS'd score map -> top keypoints with spatial spread."""
+    h, w = score.shape
+    ch = -(-h // cells_y)  # cell height (ceil)
+    cw = -(-w // cells_x)
+    ph, pw = ch * cells_y, cw * cells_x
+    padded = jnp.pad(score, ((0, ph - h), (0, pw - w)))
+
+    # [cells_y, ch, cells_x, cw] -> [n_cells, ch*cw]
+    cells = padded.reshape(cells_y, ch, cells_x, cw).transpose(0, 2, 1, 3)
+    cells = cells.reshape(cells_y * cells_x, ch * cw)
+
+    k = min(per_cell, ch * cw)
+    cell_scores, cell_idx = jax.lax.top_k(cells, k)  # [n_cells, k]
+
+    # Recover global (y, x) from cell-local flat index.
+    cell_ids = jnp.arange(cells_y * cells_x)
+    cy = (cell_ids // cells_x)[:, None]
+    cx = (cell_ids % cells_x)[:, None]
+    ly = cell_idx // cw
+    lx = cell_idx % cw
+    gy = cy * ch + ly
+    gx = cx * cw + lx
+
+    flat_scores = cell_scores.reshape(-1)
+    flat_y = gy.reshape(-1)
+    flat_x = gx.reshape(-1)
+
+    top_scores, top_i = jax.lax.top_k(flat_scores, min(n_total, flat_scores.shape[0]))
+    ys = flat_y[top_i]
+    xs = flat_x[top_i]
+    valid = top_scores > 0.0
+
+    xy = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+    if top_scores.shape[0] < n_total:
+        pad = n_total - top_scores.shape[0]
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        top_scores = jnp.pad(top_scores, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return Keypoints(xy=xy, response=top_scores, valid=valid)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def select_keypoints_jit(score, n_total, cells_y, cells_x, per_cell):
+    return select_keypoints(score, n_total, cells_y, cells_x, per_cell)

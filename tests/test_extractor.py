@@ -1,0 +1,142 @@
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam_tpu.config import ExtractorConfig
+from orb_slam_tpu.frontend import extractor
+from orb_slam_tpu.ops import fast, patches, brief, detect
+
+
+def synthetic_corners_image(h=120, w=160, rng=None, n_squares=12):
+    """Image with bright axis-aligned squares on a non-overlapping grid ->
+    strong, known corners."""
+    rng = rng or np.random.default_rng(0)
+    img = np.full((h, w), 30.0, np.float32)
+    corners = []
+    cell = 30
+    count = 0
+    for gy in range(20, h - cell, cell):
+        for gx in range(20, w - cell, cell):
+            if count >= n_squares:
+                break
+            s = int(rng.integers(10, 18))
+            y = gy + int(rng.integers(0, cell - s - 1))
+            x = gx + int(rng.integers(0, cell - s - 1))
+            img[y : y + s, x : x + s] = 200.0
+            corners += [(x, y), (x + s - 1, y), (x, y + s - 1), (x + s - 1, y + s - 1)]
+            count += 1
+    return img, corners
+
+
+def test_fast_detects_square_corners(rng):
+    img, corners = synthetic_corners_image(rng=rng)
+    score = fast.nms3x3(fast.fast_score(jnp.asarray(img), 20.0))
+    s = np.asarray(score)
+    hits = 0
+    for (x, y) in corners:
+        if s[max(y - 2, 0) : y + 3, max(x - 2, 0) : x + 3].max() > 0:
+            hits += 1
+    assert hits >= len(corners) * 0.75, f"only {hits}/{len(corners)} corners found"
+
+
+def test_fast_no_corners_on_flat():
+    img = jnp.full((64, 64), 100.0)
+    score = fast.fast_score(img, 7.0)
+    assert float(jnp.max(score)) == 0.0
+
+
+def test_fast_score_is_max_passing_threshold():
+    img, _ = synthetic_corners_image()
+    s20 = np.asarray(fast.fast_score(jnp.asarray(img), 20.0)) > 0
+    s7 = np.asarray(fast.fast_score(jnp.asarray(img), 7.0))
+    # every th-20 corner must appear in the th-7 map with score > 20
+    assert np.all(s7[s20] > 20.0)
+
+
+def test_nms_keeps_single_peak():
+    img = np.zeros((32, 32), np.float32)
+    img[10:14, 10:14] = [[1, 2, 3, 1], [2, 5, 9, 2], [3, 8, 4, 1], [1, 2, 1, 1]]
+    out = np.asarray(fast.nms3x3(jnp.asarray(img)))
+    assert (out[10:14, 10:14] > 0).sum() == 1
+
+
+def test_select_keypoints_spatial_spread():
+    score = np.zeros((100, 100), np.float32)
+    # 50 strong corners all in one cell; 5 weak spread out
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        score[rng.integers(0, 10), rng.integers(0, 10)] = 100.0
+    weak = [(50, 50), (80, 20), (20, 80), (90, 90), (60, 10)]
+    for (y, x) in weak:
+        score[y, x] = 10.0
+    kp = detect.select_keypoints(jnp.asarray(score), 20, 5, 5, per_cell=8)
+    sel = np.asarray(kp.xy)[np.asarray(kp.valid)]
+    # the weak-but-isolated corners must survive the per-cell cap
+    for (y, x) in weak:
+        assert any((abs(sel[:, 0] - x) < 1) & (abs(sel[:, 1] - y) < 1)), (y, x)
+
+
+def test_ic_angle_gradient_direction():
+    # bright half-plane to the right -> centroid along +x -> angle ~ 0
+    img = np.zeros((64, 64), np.float32)
+    img[:, 32:] = 200.0
+    a = float(patches.ic_angle(jnp.asarray(img), jnp.asarray([[32.0, 32.0]]))[0])
+    assert abs(a) < 0.1
+    # bright half below -> angle ~ +pi/2 (y down)
+    img2 = np.zeros((64, 64), np.float32)
+    img2[32:, :] = 200.0
+    a2 = float(patches.ic_angle(jnp.asarray(img2), jnp.asarray([[32.0, 32.0]]))[0])
+    assert abs(a2 - np.pi / 2) < 0.1
+
+
+def test_gaussian_blur_preserves_mean(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (64, 64)).astype(np.float32))
+    out = patches.gaussian_blur7(img)
+    assert abs(float(jnp.mean(out)) - float(jnp.mean(img))) < 1.0
+    assert float(jnp.std(out)) < float(jnp.std(img))
+
+
+def test_brief_rotation_invariance_with_steering(rng):
+    """Descriptor of a pattern and its 90deg-rotated copy should be close when
+    angles are supplied (steering compensates the rotation)."""
+    img, _ = synthetic_corners_image(rng=rng)
+    blurred = patches.gaussian_blur7(jnp.asarray(img))
+    xy = jnp.asarray([[80.0, 60.0]])
+    d0 = brief.brief_descriptors(blurred, xy, jnp.asarray([0.0]))
+    # rotate image 90 deg about center, keypoint moves accordingly
+    img_r = np.rot90(np.asarray(blurred), k=-1).copy()  # (x,y)->(H-1-y, x)
+    h = img_r.shape[0]
+    xy_r = jnp.asarray([[img.shape[0] - 1 - 60.0, 80.0]])
+    d1 = brief.brief_descriptors(jnp.asarray(img_r), xy_r, jnp.asarray([np.pi / 2]))
+    ham = bin(int(np.bitwise_xor(np.asarray(d0), np.asarray(d1)).astype(object).sum() and 0) or 0)
+    # compute hamming properly
+    x = np.bitwise_xor(np.asarray(d0, np.uint32), np.asarray(d1, np.uint32))
+    dist = sum(bin(int(v)).count("1") for v in x.ravel())
+    assert dist < 80, f"steered distance {dist} too high"
+    # sanity: unsteered must be clearly worse
+    d1u = brief.brief_descriptors(jnp.asarray(img_r), xy_r, jnp.asarray([0.0]))
+    xu = np.bitwise_xor(np.asarray(d0, np.uint32), np.asarray(d1u, np.uint32))
+    dist_u = sum(bin(int(v)).count("1") for v in xu.ravel())
+    assert dist < dist_u
+
+
+def test_extract_end_to_end(rng):
+    img, _ = synthetic_corners_image(h=240, w=320, rng=rng, n_squares=30)
+    cfg = ExtractorConfig(n_features=200, max_keypoints=256, n_levels=4)
+    feats = extractor.extract_default(jnp.asarray(img), cfg)
+    nv = int(jnp.sum(feats.valid))
+    assert nv > 40, f"only {nv} keypoints"
+    assert feats.xy.shape == (256, 2)
+    assert feats.desc.shape == (256, 8)
+    assert feats.desc.dtype == jnp.uint32
+    sel = np.asarray(feats.valid)
+    xy = np.asarray(feats.xy)[sel]
+    assert xy[:, 0].max() < 320 and xy[:, 1].max() < 240
+    lev = np.asarray(feats.level)[sel]
+    assert lev.max() >= 1, "no multi-scale detections"
+
+
+def test_level_quotas_sum():
+    cfg = ExtractorConfig()
+    q = extractor.level_quotas(cfg, 1000)
+    assert sum(q) == 1000
+    assert q[0] > q[-1]
