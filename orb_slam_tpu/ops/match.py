@@ -1,0 +1,175 @@
+"""Batched descriptor matching: the TPU replacement of ORBmatcher.
+
+The reference implements 13 hand-specialized matchers (src/ORBmatcher.cc) that
+all share one skeleton: candidate gating (spatial window / projection radius /
+epipolar band / BoW node), Hamming argmin with best/second-best ratio test,
+and a 30-bin rotation-consistency histogram (src/ORBmatcher.cc:40-42,
+:1748-1792, :1794-1810).  Here that skeleton is a single dense pipeline:
+
+    dist = hamming_matrix(d1, d2)             # [N, M] int32
+    dist = where(mask, dist, INF)             # gating as dense masks
+    matches = match_nn(dist, th, ratio)       # argmin + ratio test
+    matches &= rotation_consistency(...)      # histogram filter
+
+Dense [N, M] work (N = M = 1024) is ~1M lanes — far cheaper on the VPU than
+the reference's per-cell candidate gathers are on a CPU, and it needs no grid
+data structure at all (the 64x48 Frame grid of src/Frame.cc:108-122 exists
+only to make CPU scans sub-quadratic).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INF_DIST = jnp.int32(1 << 20)
+TWO_PI = 6.283185307179586
+
+
+def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise Hamming distance of packed descriptors.
+
+    d1: [N, 8] uint32, d2: [M, 8] uint32 -> [N, M] int32.
+    XOR + popcount over 8 uint32 lanes (the reference's DescriptorDistance,
+    src/ORBmatcher.cc:1794-1810, vectorized over all pairs).
+    """
+    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+class Matches(NamedTuple):
+    idx: jnp.ndarray    # [N] int32: matched column per row (-1 invalid)
+    dist: jnp.ndarray   # [N] int32: best distance
+    valid: jnp.ndarray  # [N] bool
+
+
+def match_nn(
+    dist: jnp.ndarray,
+    max_dist: int,
+    ratio: float = 1.0,
+    mutual: bool = False,
+) -> Matches:
+    """Row-wise nearest neighbor with best/second-best ratio test.
+
+    dist: [N, M] with INF_DIST at gated-out pairs.
+    ratio < 1 enforces best < ratio * second-best (reference mfNNratio test,
+    e.g. src/ORBmatcher.cc:231-257).
+    mutual=True additionally requires row i to be the argmin of its matched
+    column (used by SearchForInitialization semantics).
+    """
+    best_idx = jnp.argmin(dist, axis=1)
+    n = dist.shape[0]
+    rows = jnp.arange(n)
+    best = dist[rows, best_idx]
+    masked = dist.at[rows, best_idx].set(INF_DIST)
+    second = jnp.min(masked, axis=1)
+
+    ok = best <= max_dist
+    if ratio < 1.0:
+        ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+    if mutual:
+        col_best_row = jnp.argmin(dist, axis=0)  # [M]
+        ok = ok & (col_best_row[best_idx] == rows)
+    idx = jnp.where(ok, best_idx, -1)
+    return Matches(idx=idx.astype(jnp.int32), dist=best, valid=ok)
+
+
+def resolve_duplicates(m: Matches, n_cols: int) -> Matches:
+    """Keep only the lowest-distance row per matched column (the reference
+    erases the previous match when a better one lands on the same feature,
+    e.g. SearchForInitialization src/ORBmatcher.cc:598-713)."""
+    # segment-min of dist over columns
+    col = jnp.where(m.valid, m.idx, n_cols)  # invalid -> scratch bucket
+    best_per_col = jax.ops.segment_min(
+        jnp.where(m.valid, m.dist, INF_DIST), col, num_segments=n_cols + 1
+    )
+    keep = m.valid & (m.dist <= best_per_col[col])
+    # ties: keep the first row
+    first_row = jax.ops.segment_min(
+        jnp.where(keep, jnp.arange(m.idx.shape[0]), 1 << 30),
+        col,
+        num_segments=n_cols + 1,
+    )
+    keep = keep & (jnp.arange(m.idx.shape[0]) == first_row[col])
+    return Matches(idx=jnp.where(keep, m.idx, -1), dist=m.dist, valid=keep)
+
+
+def rotation_consistency(
+    angle1: jnp.ndarray,
+    angle2: jnp.ndarray,
+    m: Matches,
+    histo_length: int = 30,
+    keep_bins: int = 3,
+) -> jnp.ndarray:
+    """Keep matches whose orientation delta falls in the top-`keep_bins` of a
+    `histo_length`-bin histogram (reference ComputeThreeMaxima,
+    src/ORBmatcher.cc:1748-1792).  Returns the filtered validity mask."""
+    a2 = jnp.where(m.valid, angle2[jnp.clip(m.idx, 0, None)], 0.0)
+    rot = jnp.mod(angle1 - a2, TWO_PI)
+    bins = jnp.clip((rot / TWO_PI * histo_length).astype(jnp.int32), 0, histo_length - 1)
+    hist = jnp.zeros((histo_length,), jnp.int32).at[bins].add(m.valid.astype(jnp.int32))
+    top = jax.lax.top_k(hist, keep_bins)[0]
+    # reference drops bins 2/3 if far below max (10% rule)
+    cutoff = jnp.maximum(top[keep_bins - 1], (0.1 * top[0]).astype(jnp.int32))
+    good_bin = hist >= jnp.maximum(cutoff, 1)
+    return m.valid & good_bin[bins]
+
+
+# ---------------------------------------------------------------------------
+# Gating masks (composable with &). All return [N, M] bool.
+# ---------------------------------------------------------------------------
+
+def window_mask(xy1: jnp.ndarray, xy2: jnp.ndarray, radius: jnp.ndarray) -> jnp.ndarray:
+    """|xy2[j] - xy1[i]|_inf within radius (scalar or per-row [N]).
+
+    Covers the window searches (SearchForInitialization :598, WindowSearch
+    :409) and, with xy1 = projected positions, the projection searches."""
+    dx = jnp.abs(xy1[:, None, 0] - xy2[None, :, 0])
+    dy = jnp.abs(xy1[:, None, 1] - xy2[None, :, 1])
+    r = jnp.asarray(radius)
+    r = r[:, None] if r.ndim == 1 else r
+    return (dx <= r) & (dy <= r)
+
+
+def level_mask(level1: jnp.ndarray, level2: jnp.ndarray,
+               lo: int = 0, hi: int = 0) -> jnp.ndarray:
+    """level2[j] within [level1[i]-lo, level1[i]+hi] — the scale-gating used
+    by projection matchers (e.g. src/ORBmatcher.cc:90-96)."""
+    d = level2[None, :] - level1[:, None]
+    return (d >= -lo) & (d <= hi)
+
+
+def valid_mask(valid1: jnp.ndarray, valid2: jnp.ndarray) -> jnp.ndarray:
+    return valid1[:, None] & valid2[None, :]
+
+
+def epipolar_mask(
+    xy1: jnp.ndarray,
+    xy2: jnp.ndarray,
+    F12: jnp.ndarray,
+    sigma2_level2: jnp.ndarray,
+    chi2: float = 3.84,
+) -> jnp.ndarray:
+    """Point-to-epipolar-line distance gate for triangulation search.
+
+    Mirrors CheckDistEpipolarLine (src/ORBmatcher.cc:136-153): squared
+    distance of x2 from the epipolar line of x1 under F12, compared to
+    chi2 * sigma^2 of x2's level.
+    """
+    ones = jnp.ones((xy1.shape[0], 1), xy1.dtype)
+    x1h = jnp.concatenate([xy1, ones], axis=1)                  # [N, 3]
+    lines = x1h @ F12.T                                          # [N, 3]
+    a, b, c = lines[:, 0:1], lines[:, 1:2], lines[:, 2:3]
+    # distance^2 = (a x2 + b y2 + c)^2 / (a^2 + b^2)
+    val = a * xy2[None, :, 0] + b * xy2[None, :, 1] + c          # [N, M]
+    den = a * a + b * b
+    dsq = (val * val) / jnp.maximum(den, 1e-12)
+    return dsq < chi2 * sigma2_level2[None, :]
+
+
+def apply_masks(dist: jnp.ndarray, *masks: jnp.ndarray) -> jnp.ndarray:
+    m = masks[0]
+    for extra in masks[1:]:
+        m = m & extra
+    return jnp.where(m, dist, INF_DIST)
