@@ -1,0 +1,218 @@
+"""Bundle adjustment: batched Levenberg-Marquardt with Schur-complement
+reduction of landmark blocks — the TPU replacement of g2o's
+BlockSolver + OptimizationAlgorithmLevenberg pipeline used by
+Optimizer::LocalBundleAdjustment / GlobalBundleAdjustemnt [sic]
+(src/Optimizer.cc:38-152, :287-536).
+
+Design (SURVEY.md §7 phase 6b): the map slice is flat SoA —
+  poses    [K] (R [K,3,3], t [K,3]), fixed-camera gauge mask [K]
+  points   [P,3]
+  edges    flat observation list (cam_idx, pt_idx, uv, inv_sigma2, valid)
+Per LM iteration, everything is one batched program:
+  1. vmapped residuals + analytic Jacobians for all edges at once,
+  2. scatter-add (segment-sum) of the 6x6/3x3/6x3 normal-equation blocks,
+  3. per-landmark 3x3 inversion (Hpp is block diagonal),
+  4. Schur complement S = Hcc - W Hpp^-1 W^T assembled with one einsum
+     (an MXU contraction over the dense [P,K] block grid),
+  5. dense Cholesky solve of the reduced [6K,6K] camera system,
+  6. landmark back-substitution, LM accept/reject via jnp.where.
+The reference's CHOLMOD sparse Cholesky is replaced by the dense reduced
+solve: the local-BA camera system is small (K <= 64 -> 384x384); the Schur
+*assembly*, which dominates, is where the batching wins.
+
+The reference's two-phase schedule is preserved: 5 iterations, drop
+observations with chi2 > 5.991 or negative depth, 10 more iterations
+(Optimizer.cc:450-494), and the returned edge mask tells the caller which
+observations to erase (Optimizer.cc:496-521).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+from ..geometry import se3
+from ..geometry.camera import CameraParams
+from .pose_opt import _huber_weight
+
+
+class BAEdges(NamedTuple):
+    cam_idx: jnp.ndarray     # [O] int32
+    pt_idx: jnp.ndarray      # [O] int32
+    uv: jnp.ndarray          # [O, 2] float32 undistorted pixels
+    inv_sigma2: jnp.ndarray  # [O] float32
+    valid: jnp.ndarray       # [O] bool
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray           # [K, 3, 3]
+    t: jnp.ndarray           # [K, 3]
+    points: jnp.ndarray      # [P, 3]
+    edge_inliers: jnp.ndarray  # [O] bool (valid & chi2 below gate & z>0)
+    cost: jnp.ndarray        # final robust cost
+
+
+def _edge_terms(Rs, ts, Xs, edges: BAEdges, cam: CameraParams):
+    """Residuals and Jacobians for every edge.
+
+    Returns r [O,2], Jc [O,2,6], Jp [O,2,3], z [O]."""
+    Rk = Rs[edges.cam_idx]
+    tk = ts[edges.cam_idx]
+    Xp = Xs[edges.pt_idx]
+    xc = jnp.einsum("oij,oj->oi", Rk, Xp) + tk
+    x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
+    zi = 1.0 / jnp.maximum(z, 1e-6)
+    u = x * zi * cam.fx + cam.cx
+    v = y * zi * cam.fy + cam.cy
+    r = jnp.stack([u, v], axis=1) - edges.uv
+
+    fx, fy = cam.fx, cam.fy
+    zi2 = zi * zi
+    zero = jnp.zeros_like(x)
+    Jpi = jnp.stack(
+        [
+            jnp.stack([fx * zi, zero, -fx * x * zi2], axis=1),
+            jnp.stack([zero, fy * zi, -fy * y * zi2], axis=1),
+        ],
+        axis=1,
+    )  # [O, 2, 3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=Xs.dtype), (xc.shape[0], 3, 3))
+    dxc = jnp.concatenate([eye, -se3.hat(xc)], axis=2)  # [O, 3, 6]
+    Jc = Jpi @ dxc                                       # [O, 2, 6]
+    Jp = Jpi @ Rk                                        # [O, 2, 3]
+    return r, Jc, Jp, z
+
+
+def _robust_cost(r, z, inv_sigma2, active, delta2):
+    c2 = jnp.sum(r * r, axis=1) * inv_sigma2
+    # Huber rho(e^2): e^2 if below, 2 d sqrt(e^2) - d^2 above
+    d = jnp.sqrt(delta2)
+    rho = jnp.where(c2 <= delta2, c2, 2.0 * d * jnp.sqrt(jnp.maximum(c2, 1e-12)) - delta2)
+    return jnp.sum(rho * active * (z > 0))
+
+
+@partial(jax.jit, static_argnames=("n_iters", "use_robust"))
+def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
+              lam0, active, n_iters: int, use_robust: bool,
+              delta2: float):
+    K = Rs.shape[0]
+    P = Xs.shape[0]
+
+    def step(carry, _):
+        Rs, ts, Xs, lam = carry
+        r, Jc, Jp, z = _edge_terms(Rs, ts, Xs, edges, cam)
+        c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
+        w = _huber_weight(c2, delta2) if use_robust else jnp.ones_like(c2)
+        w = w * edges.inv_sigma2 * active * (z > 0)
+
+        # normal-equation blocks (scatter-add over edges)
+        JcTJc = jnp.einsum("oia,o,oib->oab", Jc, w, Jc)      # [O,6,6]
+        JpTJp = jnp.einsum("oia,o,oib->oab", Jp, w, Jp)      # [O,3,3]
+        JcTJp = jnp.einsum("oia,o,oib->oab", Jc, w, Jp)      # [O,6,3]
+        gc_o = jnp.einsum("oia,o,oi->oa", Jc, w, r)          # [O,6]
+        gp_o = jnp.einsum("oia,o,oi->oa", Jp, w, r)          # [O,3]
+
+        Hcc = jnp.zeros((K, 6, 6), Rs.dtype).at[edges.cam_idx].add(JcTJc)
+        Hpp = jnp.zeros((P, 3, 3), Rs.dtype).at[edges.pt_idx].add(JpTJp)
+        U = jnp.zeros((P, K, 6, 3), Rs.dtype).at[edges.pt_idx, edges.cam_idx].add(JcTJp)
+        gc = jnp.zeros((K, 6), Rs.dtype).at[edges.cam_idx].add(gc_o)
+        gp = jnp.zeros((P, 3), Rs.dtype).at[edges.pt_idx].add(gp_o)
+
+        # LM damping (multiplicative on block diagonals)
+        eye6 = jnp.eye(6, dtype=Rs.dtype)
+        eye3 = jnp.eye(3, dtype=Rs.dtype)
+        Hcc_d = Hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc)) + 1e-8 * eye6
+        Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) + 1e-8 * eye3
+
+        Hpp_inv = jnp.linalg.inv(Hpp_d)                       # [P,3,3]
+
+        # Schur complement (MXU einsums over the dense block grid)
+        M = jnp.einsum("pkab,pbc->pkac", U, Hpp_inv)          # [P,K,6,3]
+        S_sub = jnp.einsum("pkac,plbc->kalb", M, U)           # [K,6,K,6]
+        S = -S_sub
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+        g_red = gc - jnp.einsum("pkac,pc->ka", M, gp)         # [K,6]
+
+        # gauge: fixed cameras get identity rows/cols and zero gradient
+        free = (~fixed).astype(Rs.dtype)
+        S = S * free[:, None, None, None] * free[None, None, :, None]
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            jnp.einsum("k,ab->kab", 1.0 - free, jnp.eye(6, dtype=Rs.dtype))
+        )
+        g_red = g_red * free[:, None]
+
+        dxc = -jnp.linalg.solve(S.reshape(6 * K, 6 * K), g_red.reshape(-1))
+        dxc = dxc.reshape(K, 6)
+        dxp = -jnp.einsum(
+            "pab,pb->pa",
+            Hpp_inv,
+            gp + jnp.einsum("pkac,ka->pc", U, dxc),
+        )
+
+        Rs1, ts1 = jax.vmap(se3.retract)(Rs, ts, dxc)
+        Xs1 = Xs + dxp
+
+        r1, _, _, z1 = _edge_terms(Rs1, ts1, Xs1, edges, cam)
+        cost_old = _robust_cost(r, z, edges.inv_sigma2, active, delta2)
+        cost_new = _robust_cost(r1, z1, edges.inv_sigma2, active, delta2)
+        accept = (cost_new < cost_old) & jnp.all(jnp.isfinite(dxc)) & jnp.all(
+            jnp.isfinite(dxp)
+        )
+        Rs = jnp.where(accept, Rs1, Rs)
+        ts = jnp.where(accept, ts1, ts)
+        Xs = jnp.where(accept, Xs1, Xs)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return (Rs, ts, Xs, lam), cost_new
+
+    (Rs, ts, Xs, lam), costs = jax.lax.scan(
+        step, (Rs, ts, Xs, lam0), None, length=n_iters
+    )
+    return Rs, ts, Xs, lam, costs[-1]
+
+
+def bundle_adjust(
+    Rs: jnp.ndarray,
+    ts: jnp.ndarray,
+    Xs: jnp.ndarray,
+    fixed: jnp.ndarray,
+    edges: BAEdges,
+    cam: CameraParams,
+    cfg: SolverConfig = SolverConfig(),
+    two_phase: bool = True,
+) -> BAResult:
+    """Local/global BA.  fixed: [K] bool gauge mask (at least one True).
+
+    two_phase=True follows the reference local-BA schedule (5 its, outlier
+    edge removal at chi2 > 5.991 or z<=0, 10 more its).  two_phase=False runs
+    cfg.global_ba_iters robust iterations (init/global BA,
+    Optimizer.cc:38-152)."""
+    delta2 = cfg.huber_delta2
+    lam = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
+    active = edges.valid.astype(Rs.dtype)
+
+    if two_phase:
+        Rs, ts, Xs, lam, _ = _lm_phase(
+            Rs, ts, Xs, fixed, edges, cam, lam, active,
+            n_iters=cfg.local_ba_iters1, use_robust=True, delta2=delta2,
+        )
+        r, _, _, z = _edge_terms(Rs, ts, Xs, edges, cam)
+        c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
+        inl = edges.valid & (c2 <= cfg.local_ba_chi2) & (z > 0)
+        active = inl.astype(Rs.dtype)
+        Rs, ts, Xs, lam, cost = _lm_phase(
+            Rs, ts, Xs, fixed, edges, cam, lam, active,
+            n_iters=cfg.local_ba_iters2, use_robust=False, delta2=delta2,
+        )
+    else:
+        Rs, ts, Xs, lam, cost = _lm_phase(
+            Rs, ts, Xs, fixed, edges, cam, lam, active,
+            n_iters=cfg.global_ba_iters, use_robust=True, delta2=delta2,
+        )
+
+    r, _, _, z = _edge_terms(Rs, ts, Xs, edges, cam)
+    c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
+    inl = edges.valid & (c2 <= cfg.local_ba_chi2) & (z > 0)
+    return BAResult(R=Rs, t=ts, points=Xs, edge_inliers=inl, cost=cost)
