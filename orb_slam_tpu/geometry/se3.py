@@ -128,6 +128,21 @@ def retract(R, t, xi):
     return compose(dR, dt, R, t)
 
 
+def orthonormalize(R: jnp.ndarray) -> jnp.ndarray:
+    """Project R[..., 3, 3] onto SO(3) via SVD (closest rotation in
+    Frobenius norm, det +1).
+
+    f32 pose chains (motion model: vel = Rc Rl^T, pred = vel R) compound
+    off-manifold error *geometrically* (~x2.4/frame measured) because group
+    operations preserve the non-orthonormal component; a 1e-7 seed reaches
+    percent level within ~15 frames and poisons every reprojection.  Call
+    this at per-frame update boundaries."""
+    u, _, vt = jnp.linalg.svd(R)
+    d = jnp.linalg.det(u @ vt)
+    fix = jnp.ones(R.shape[:-2] + (3,), R.dtype).at[..., 2].set(d)
+    return (u * fix[..., None, :]) @ vt
+
+
 def to_matrix(R, t):
     bot = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), R.shape[:-2] + (1, 4)

@@ -1,0 +1,221 @@
+"""Flat SoA map state: the TPU-native replacement of the reference's
+pointer-graph data model (Map / KeyFrame / MapPoint, src/Map.cc,
+src/KeyFrame.cc, src/MapPoint.cc).
+
+Design (SURVEY.md §7): fixed-capacity arrays + validity masks replace
+std::set / new / delete; the observation graph is a dense per-keyframe slot
+array (keypoint slot -> map-point id) instead of per-object maps; the
+covisibility graph (KeyFrame::UpdateConnections, src/KeyFrame.cc:332-421) is
+*derived* on demand from the observation incidence by one int matmul rather
+than maintained mutably under mutexes.  All updates are pure array updates —
+the entire class of lock-ordering bugs in the reference (§5.2) is gone by
+construction.
+
+Host-side scalars (n_kf, n_mp) control allocation; device arrays hold state.
+The spanning tree and loop edges (tiny, irregular) live on host.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig, ExtractorConfig
+
+
+class MapState(NamedTuple):
+    """Device-resident SoA map (a pytree; every update returns a new one)."""
+
+    # keyframes
+    kf_valid: jnp.ndarray    # [K] bool
+    kf_R: jnp.ndarray        # [K, 3, 3] world->cam
+    kf_t: jnp.ndarray        # [K, 3]
+    kf_xy: jnp.ndarray       # [K, N, 2] undistorted keypoint pixels (level-0)
+    kf_level: jnp.ndarray    # [K, N] int32
+    kf_angle: jnp.ndarray    # [K, N] float32
+    kf_desc: jnp.ndarray     # [K, N, 8] uint32
+    kf_kp_valid: jnp.ndarray  # [K, N] bool
+    kf_obs: jnp.ndarray      # [K, N] int32 map-point id per slot, -1 = none
+    # map points
+    mp_valid: jnp.ndarray    # [P] bool
+    mp_pos: jnp.ndarray      # [P, 3]
+    mp_desc: jnp.ndarray     # [P, 8] uint32 representative descriptor
+    mp_normal: jnp.ndarray   # [P, 3] mean viewing direction
+    mp_min_dist: jnp.ndarray  # [P] scale-invariance band (MapPoint.cc:273-312)
+    mp_max_dist: jnp.ndarray  # [P]
+    mp_ref_kf: jnp.ndarray   # [P] int32
+    mp_first_kf: jnp.ndarray  # [P] int32 (culling window anchor)
+    mp_found: jnp.ndarray    # [P] int32 tracking found count
+    mp_visible: jnp.ndarray  # [P] int32 tracking visible count
+
+
+@dataclasses.dataclass
+class SlamMap:
+    """Host wrapper: device MapState + host allocation counters + the tiny
+    irregular graphs (spanning tree, loop edges)."""
+
+    state: MapState
+    cfg: MapConfig
+    n_kf: int = 0
+    n_mp: int = 0
+    parent: Optional[np.ndarray] = None       # [K] spanning-tree parent, -1 root
+    loop_edges: Optional[list] = None          # list of (kf_a, kf_b)
+    kf_frame_id: Optional[np.ndarray] = None   # [K] source frame index
+    kf_timestamp: Optional[np.ndarray] = None  # [K] float64
+
+    @staticmethod
+    def create(cfg: MapConfig, n_slots: int) -> "SlamMap":
+        K, P, N = cfg.max_keyframes, cfg.max_points, n_slots
+        f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+        state = MapState(
+            kf_valid=jnp.zeros(K, bool),
+            kf_R=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
+            kf_t=jnp.zeros((K, 3), f32),
+            kf_xy=jnp.zeros((K, N, 2), f32),
+            kf_level=jnp.zeros((K, N), i32),
+            kf_angle=jnp.zeros((K, N), f32),
+            kf_desc=jnp.zeros((K, N, 8), u32),
+            kf_kp_valid=jnp.zeros((K, N), bool),
+            kf_obs=jnp.full((K, N), -1, i32),
+            mp_valid=jnp.zeros(P, bool),
+            mp_pos=jnp.zeros((P, 3), f32),
+            mp_desc=jnp.zeros((P, 8), u32),
+            mp_normal=jnp.zeros((P, 3), f32),
+            mp_min_dist=jnp.zeros(P, f32),
+            mp_max_dist=jnp.full(P, jnp.inf, f32),
+            mp_ref_kf=jnp.full(P, -1, i32),
+            mp_first_kf=jnp.full(P, -1, i32),
+            mp_found=jnp.ones(P, i32),
+            mp_visible=jnp.ones(P, i32),
+        )
+        return SlamMap(
+            state=state, cfg=cfg,
+            parent=np.full(K, -1, np.int64),
+            loop_edges=[],
+            kf_frame_id=np.full(K, -1, np.int64),
+            kf_timestamp=np.zeros(K, np.float64),
+        )
+
+    # ------------------------------------------------------------------
+    # allocation (host decides ids; device arrays updated functionally)
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, R, t, xy, level, angle, desc, kp_valid, obs,
+                     frame_id: int, timestamp: float, parent: int = -1) -> int:
+        if self.n_kf >= self.cfg.max_keyframes:
+            raise RuntimeError("keyframe pool exhausted (compaction TODO)")
+        k = self.n_kf
+        s = self.state
+        self.state = s._replace(
+            kf_valid=s.kf_valid.at[k].set(True),
+            kf_R=s.kf_R.at[k].set(R),
+            kf_t=s.kf_t.at[k].set(t),
+            kf_xy=s.kf_xy.at[k].set(xy),
+            kf_level=s.kf_level.at[k].set(level),
+            kf_angle=s.kf_angle.at[k].set(angle),
+            kf_desc=s.kf_desc.at[k].set(desc),
+            kf_kp_valid=s.kf_kp_valid.at[k].set(kp_valid),
+            kf_obs=s.kf_obs.at[k].set(obs),
+        )
+        self.parent[k] = parent
+        self.kf_frame_id[k] = frame_id
+        self.kf_timestamp[k] = timestamp
+        self.n_kf += 1
+        return k
+
+    def add_points(self, pos, desc, normal, min_dist, max_dist, ref_kf: int,
+                   valid_mask) -> np.ndarray:
+        """Allocate a block of map points (masked).  pos: [M,3] etc;
+        valid_mask: [M] — invalid rows are skipped but still consume no ids.
+        Returns [M] int32 assigned ids (-1 where invalid)."""
+        m = np.asarray(valid_mask)
+        n_new = int(m.sum())
+        if self.n_mp + n_new > self.cfg.max_points:
+            raise RuntimeError("map-point pool exhausted (compaction TODO)")
+        ids = np.full(m.shape[0], -1, np.int32)
+        ids[m] = self.n_mp + np.arange(n_new, dtype=np.int32)
+        dev_ids = jnp.asarray(np.where(m, ids, self.cfg.max_points))  # scatter-safe
+        s = self.state
+        P = self.cfg.max_points
+
+        def scat(arr, vals):
+            # rows with id==P fall off the end (dropped by XLA scatter clip
+            # semantics we emulate via a pad row)
+            padded = jnp.concatenate([arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
+            padded = padded.at[dev_ids].set(vals.astype(arr.dtype))
+            return padded[:P]
+
+        self.state = s._replace(
+            mp_valid=scat(s.mp_valid, jnp.asarray(m)),
+            mp_pos=scat(s.mp_pos, pos),
+            mp_desc=scat(s.mp_desc, desc),
+            mp_normal=scat(s.mp_normal, normal),
+            mp_min_dist=scat(s.mp_min_dist, min_dist),
+            mp_max_dist=scat(s.mp_max_dist, max_dist),
+            mp_ref_kf=scat(s.mp_ref_kf, jnp.full(m.shape[0], ref_kf)),
+            mp_first_kf=scat(s.mp_first_kf, jnp.full(m.shape[0], ref_kf)),
+            mp_found=scat(s.mp_found, jnp.ones(m.shape[0])),
+            mp_visible=scat(s.mp_visible, jnp.ones(m.shape[0])),
+        )
+        self.n_mp += n_new
+        return ids
+
+    def set_observations(self, kf_id: int, slot_idx, point_ids):
+        """Associate keypoint slots of keyframe kf_id with map points."""
+        s = self.state
+        self.state = s._replace(
+            kf_obs=s.kf_obs.at[kf_id, slot_idx].set(point_ids)
+        )
+
+    def set_pose(self, kf_id: int, R, t):
+        s = self.state
+        self.state = s._replace(
+            kf_R=s.kf_R.at[kf_id].set(R), kf_t=s.kf_t.at[kf_id].set(t)
+        )
+
+
+# ---------------------------------------------------------------------------
+# derived structure (pure functions of MapState)
+# ---------------------------------------------------------------------------
+
+def covisibility_row(state: MapState, kf_id, n_points: int) -> jnp.ndarray:
+    """Shared-observation counts of kf_id vs every keyframe: [K] int32.
+
+    Replaces KeyFrame::UpdateConnections counting (src/KeyFrame.cc:332-421)
+    with one scatter + gather-free matmul-like reduction.
+    """
+    obs = state.kf_obs[kf_id]                      # [N]
+    seen = jnp.zeros((n_points + 1,), jnp.bool_).at[
+        jnp.where(obs >= 0, obs, n_points)
+    ].set(True)
+    seen = seen.at[n_points].set(False)
+    # count per keyframe: how many of its obs are in `seen`
+    hits = seen[jnp.where(state.kf_obs >= 0, state.kf_obs, n_points)]  # [K, N]
+    counts = jnp.sum(hits & (state.kf_obs >= 0), axis=1).astype(jnp.int32)
+    counts = counts * state.kf_valid
+    return counts.at[kf_id].set(0)
+
+
+def covisibility_matrix(state: MapState, n_points: int) -> jnp.ndarray:
+    """Full [K, K] covisibility weights via incidence matmul (int32)."""
+    K, N = state.kf_obs.shape
+    # incidence B [K, P+1] via scatter of ones
+    obs = jnp.where(state.kf_obs >= 0, state.kf_obs, n_points)
+    B = jnp.zeros((K, n_points + 1), jnp.float32)
+    B = B.at[jnp.arange(K)[:, None], obs].set(1.0)
+    B = B.at[:, n_points].set(0.0)
+    W = (B @ B.T).astype(jnp.int32)
+    W = W * state.kf_valid[:, None] * state.kf_valid[None, :]
+    return W - jnp.diag(jnp.diag(W))
+
+
+def point_observation_counts(state: MapState) -> jnp.ndarray:
+    """[P] number of keyframes observing each point."""
+    P = state.mp_valid.shape[0]
+    obs = jnp.where(state.kf_obs >= 0, state.kf_obs, P)
+    flat = obs.reshape(-1)
+    counts = jnp.zeros((P + 1,), jnp.int32).at[flat].add(1)
+    return counts[:P] * state.mp_valid

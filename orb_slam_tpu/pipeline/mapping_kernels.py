@@ -1,0 +1,199 @@
+"""Jitted kernels for keyframe-rate map building (LocalMapping's compute).
+
+ - triangulate_between: CreateNewMapPoints' per-neighbor epipolar search +
+   triangulation (src/LocalMapping.cc:220-386, src/ORBmatcher.cc:852-1014)
+   as one batched program per keyframe pair.
+ - point_stats: UpdateNormalAndDepth (src/MapPoint.cc:273-312) batched over
+   the whole observation table.
+ - fuse_into_keyframe: ORBmatcher::Fuse (src/ORBmatcher.cc:1016-1134) —
+   project map points into a keyframe and associate/merge duplicates.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3, triangulate
+from ..geometry.camera import CameraParams, in_image
+from ..ops import match as m
+
+
+def fundamental_from_poses(R1, t1, R2, t2, K):
+    """F12 such that x2^T F12 x1 = 0 for pixel coords (ComputeF12,
+    src/LocalMapping.cc:467-484)."""
+    # T12 = T1 o T2^-1 maps cam2 coords to cam1: x1 ~ K (R12 X2 + t12)
+    R12 = R1 @ R2.T
+    t12 = t1 - R12 @ t2
+    E = se3.hat(t12) @ R12            # x1^T K^-T E K^-1 x2 = 0
+    Ki = jnp.linalg.inv(K)
+    F_a = Ki.T @ E @ Ki               # x1^T F_a x2 = 0
+    return F_a.T                      # x2^T F12 x1 = 0
+
+
+class TriangulationResult(NamedTuple):
+    slot2: jnp.ndarray   # [N1] matched slot in kf2 (-1 none)
+    X: jnp.ndarray       # [N1, 3] world points
+    ok: jnp.ndarray      # [N1] all gates passed
+
+
+@partial(jax.jit, static_argnames=("scale_factor",))
+def triangulate_between(
+    xy1, desc1, level1, angle1, free1,
+    xy2, desc2, level2, angle2, free2,
+    R1, t1, R2, t2,
+    sigma2_1, sigma2_2,
+    K, cam: CameraParams,
+    max_dist: int = 50,
+    epipolar_chi2: float = 3.84,
+    reproj_chi2: float = 5.991,
+    scale_factor: float = 1.2,
+) -> TriangulationResult:
+    """Epipolar-gated matching of unassociated keypoints between two
+    keyframes + batched triangulation with the reference's acceptance gates."""
+    F12 = fundamental_from_poses(R1, t1, R2, t2, K)
+
+    dist = m.hamming_matrix(desc1, desc2)
+    mask = (
+        m.epipolar_mask(xy1, xy2, F12, sigma2_2, chi2=epipolar_chi2)
+        & m.valid_mask(free1, free2)
+    )
+    gated = m.apply_masks(dist, mask)
+    mm = m.match_nn(gated, max_dist=max_dist)
+    keep = m.rotation_consistency(angle1, angle2, mm)
+    mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist, valid=keep)
+    mm = m.resolve_duplicates(mm, xy2.shape[0])
+
+    j = jnp.clip(mm.idx, 0, None)
+    xy2m = xy2[j]
+
+    # triangulate in world frame
+    P1 = triangulate.projection_matrix(K, R1, t1)
+    P2 = triangulate.projection_matrix(K, R2, t2)
+    X = triangulate.triangulate_dlt(P1, P2, xy1, xy2m)
+    finite = jnp.all(jnp.isfinite(X), axis=1)
+    Xs = jnp.where(finite[:, None], X, 0.0)
+
+    # parallax between rays (reference requires cosParallax < 0.9998)
+    c1 = -R1.T @ t1
+    c2 = -R2.T @ t2
+    cosp = triangulate.parallax_cos(Xs, c1, c2)
+
+    xc1 = se3.transform(R1, t1, Xs)
+    xc2 = se3.transform(R2, t2, Xs)
+
+    def reproj(xc, xy, s2):
+        z = jnp.maximum(xc[:, 2], 1e-6)
+        uv = jnp.stack(
+            [xc[:, 0] / z * cam.fx + cam.cx, xc[:, 1] / z * cam.fy + cam.cy],
+            axis=1,
+        )
+        return jnp.sum((uv - xy) ** 2, axis=1) / s2
+
+    e1 = reproj(xc1, xy1, sigma2_1)
+    e2 = reproj(xc2, xy2m, sigma2_2[j])
+
+    # scale-consistency (LocalMapping.cc:352-366): distance ratio must agree
+    # with the octave scale ratio within ratioFactor = 1.5 * scaleFactor
+    d1 = jnp.linalg.norm(Xs - c1[None], axis=1)
+    d2 = jnp.linalg.norm(Xs - c2[None], axis=1)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    ratio_octave = scale_factor ** (level1 - level2[j]).astype(jnp.float32)
+    rf = 1.5 * scale_factor
+    scale_ok = (ratio_dist < ratio_octave * rf) & (ratio_dist * rf > ratio_octave)
+
+    ok = (
+        mm.valid & finite
+        & (cosp > 0) & (cosp < 0.9998)
+        & (xc1[:, 2] > 0) & (xc2[:, 2] > 0)
+        & (e1 < reproj_chi2) & (e2 < reproj_chi2)
+        & scale_ok
+    )
+    return TriangulationResult(slot2=jnp.where(ok, mm.idx, -1), X=Xs, ok=ok)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def point_stats(
+    kf_obs, kf_R, kf_t, kf_level, kf_valid,
+    mp_pos, mp_valid, mp_ref_kf,
+    n_levels: int = 8, scale_factor: float = 1.2,
+):
+    """Batched UpdateNormalAndDepth over the whole map: mean viewing
+    direction and the scale-invariance distance band from the reference
+    keyframe's octave.  Returns (normal [P,3], min_dist [P], max_dist [P])."""
+    K, N = kf_obs.shape
+    P = mp_pos.shape[0]
+    centers = -jnp.einsum("kji,kj->ki", kf_R, kf_t)  # [K, 3]
+
+    obs_flat = kf_obs.reshape(-1)
+    kf_of_obs = jnp.repeat(jnp.arange(K), N)
+    valid_obs = (obs_flat >= 0) & kf_valid[kf_of_obs]
+    pid = jnp.where(valid_obs, obs_flat, P)
+
+    rays = mp_pos[jnp.clip(obs_flat, 0, P - 1)] - centers[kf_of_obs]
+    rays = rays / jnp.maximum(jnp.linalg.norm(rays, axis=1, keepdims=True), 1e-9)
+    rays = jnp.where(valid_obs[:, None], rays, 0.0)
+
+    normal_sum = jnp.zeros((P + 1, 3), mp_pos.dtype).at[pid].add(rays)
+    counts = jnp.zeros((P + 1,), mp_pos.dtype).at[pid].add(valid_obs.astype(mp_pos.dtype))
+    normal = normal_sum[:P] / jnp.maximum(counts[:P, None], 1.0)
+
+    # distance band from the reference keyframe
+    ref = jnp.clip(mp_ref_kf, 0, K - 1)
+    d_ref = jnp.linalg.norm(mp_pos - centers[ref], axis=1)
+    # octave of the observation in the reference keyframe: find the slot
+    # (first slot in ref KF observing this point)
+    # build per-point level via scatter-min of (level) over obs in ref kf
+    is_ref_obs = valid_obs & (kf_of_obs == ref[jnp.clip(obs_flat, 0, P - 1)])
+    lev_flat = kf_level.reshape(-1)
+    pid_ref = jnp.where(is_ref_obs, obs_flat, P)
+    ref_level = jnp.full((P + 1,), n_levels, jnp.int32).at[pid_ref].min(lev_flat)
+    ref_level = jnp.clip(ref_level[:P], 0, n_levels - 1)
+
+    level_scale = scale_factor ** ref_level.astype(mp_pos.dtype)
+    max_dist = d_ref * level_scale
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+    return normal, min_dist, max_dist
+
+
+@jax.jit
+def fuse_into_keyframe(
+    kf_xy, kf_desc, kf_level, kf_kp_valid, kf_obs,
+    R, t,
+    mp_pos, mp_desc, mp_valid, mp_ids,
+    sigma2_kf,
+    cam: CameraParams,
+    radius: float = 3.0, max_dist: int = 50,
+):
+    """Project candidate map points into a keyframe; match to its keypoints.
+
+    Returns (slot [M], ok [M]) per candidate point: the keypoint slot each
+    point should be associated with.  The caller merges: if the slot already
+    observes another point, the two landmarks are duplicates -> host replaces
+    the younger with the older (MapPoint::Replace, src/MapPoint.cc:124-158).
+    """
+    xc = se3.transform(R, t, mp_pos)
+    z = xc[:, 2]
+    uv = jnp.stack(
+        [xc[:, 0] / jnp.maximum(z, 1e-6) * cam.fx + cam.cx,
+         xc[:, 1] / jnp.maximum(z, 1e-6) * cam.fy + cam.cy], axis=1)
+    proj_ok = mp_valid & (z > 0) & in_image(uv, cam)
+
+    dist = m.hamming_matrix(mp_desc, kf_desc)
+    # radius scaled by the keypoint's own octave; also chi2-gate the
+    # reprojection distance like the reference (e < 5.99 sigma2)
+    du = uv[:, None, 0] - kf_xy[None, :, 0]
+    dv = uv[:, None, 1] - kf_xy[None, :, 1]
+    e2 = du * du + dv * dv
+    r_kp = radius * (1.2 ** kf_level.astype(jnp.float32))
+    mask = (
+        (e2 <= (r_kp * r_kp)[None, :])
+        & (e2 / jnp.maximum(sigma2_kf, 1e-9)[None, :] < 5.99)
+        & m.valid_mask(proj_ok, kf_kp_valid)
+    )
+    gated = m.apply_masks(dist, mask)
+    mm = m.match_nn(gated, max_dist=max_dist)
+    mm = m.resolve_duplicates(mm, kf_xy.shape[0])
+    return jnp.where(mm.valid, mm.idx, -1), mm.valid

@@ -1,0 +1,160 @@
+"""Jitted compute kernels for the per-frame tracking hot path.
+
+Each kernel fuses a whole reference stage into one XLA program so the host
+orchestrator dispatches only a handful of device calls per frame
+(SURVEY.md §7 "hard parts" #3: host<->device latency).
+
+ - match_last_frame: TrackWithMotionModel's SearchByProjection vs the last
+   frame (src/ORBmatcher.cc:1507-1620) — project last frame's landmarks with
+   the motion-model pose, window+level-gated Hamming matching.
+ - match_local_map: TrackLocalMap's frustum filter + SearchByProjection
+   (src/Frame.cc:136-197 isInFrustum, src/ORBmatcher.cc:49-125) — frustum
+   check with distance band, viewing-cone and scale prediction, then gated
+   matching against all local map points at once.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import CameraParams, in_image
+from ..ops import match as m
+
+
+class Association(NamedTuple):
+    """Per-keypoint-slot landmark association of the current frame."""
+
+    point_idx: jnp.ndarray  # [N] int32 index into the supplied point table
+    pos: jnp.ndarray        # [N, 3] world position of the associated point
+    valid: jnp.ndarray      # [N] bool
+
+
+@partial(jax.jit, static_argnames=("scale_factor",))
+def match_last_frame(
+    cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
+    last_pos, last_desc, last_level, last_angle, last_pt_valid,
+    R_pred, t_pred, cam: CameraParams,
+    radius: float = 15.0, max_dist: int = 100, scale_factor: float = 1.2,
+) -> Association:
+    """Rows = last frame's landmark-bearing slots, cols = current keypoints."""
+    xc = se3.transform(R_pred, t_pred, last_pos)
+    z = xc[:, 2]
+    uv = jnp.stack(
+        [xc[:, 0] / jnp.maximum(z, 1e-6) * cam.fx + cam.cx,
+         xc[:, 1] / jnp.maximum(z, 1e-6) * cam.fy + cam.cy], axis=1)
+    proj_ok = last_pt_valid & (z > 0) & in_image(uv, cam)
+
+    dist = m.hamming_matrix(last_desc, cur_desc)
+    r = radius * scale_factor ** last_level.astype(jnp.float32)
+    mask = (
+        m.window_mask(uv, cur_xy, r)
+        & m.level_mask(last_level, cur_level, lo=1, hi=1)
+        & m.valid_mask(proj_ok, cur_valid)
+    )
+    gated = m.apply_masks(dist, mask)
+    mm = m.match_nn(gated, max_dist=max_dist)
+    mm = m.Matches(idx=mm.idx, dist=mm.dist, valid=mm.valid)
+    keep = m.rotation_consistency(last_angle, cur_angle, mm)
+    mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist, valid=keep)
+    mm = m.resolve_duplicates(mm, cur_xy.shape[0])
+
+    # invert: per current slot -> source last-slot landmark
+    n_cur = cur_xy.shape[0]
+    inv = jnp.full((n_cur,), -1, jnp.int32)
+    rows = jnp.arange(last_pos.shape[0], dtype=jnp.int32)
+    inv = inv.at[jnp.where(mm.valid, mm.idx, n_cur - 1)].max(
+        jnp.where(mm.valid, rows, -1), indices_are_sorted=False
+    )
+    # (max-combine is safe: resolve_duplicates guarantees 1:1)
+    avalid = inv >= 0
+    src = jnp.clip(inv, 0, None)
+    return Association(
+        point_idx=src,
+        pos=last_pos[src],
+        valid=avalid,
+    )
+
+
+@partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def match_local_map(
+    cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
+    mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
+    R, t, cam: CameraParams,
+    radius: float = 10.0, max_dist: int = 100, ratio: float = 0.8,
+    view_cos_limit: float = 0.5, scale_factor: float = 1.2, n_levels: int = 8,
+):
+    """Frustum-gated projection matching of local map points (rows) against
+    current keypoints (cols).  Returns (Association, n_visible)."""
+    xc = se3.transform(R, t, mp_pos)
+    z = xc[:, 2]
+    uv = jnp.stack(
+        [xc[:, 0] / jnp.maximum(z, 1e-6) * cam.fx + cam.cx,
+         xc[:, 1] / jnp.maximum(z, 1e-6) * cam.fy + cam.cy], axis=1)
+
+    # frustum: in image, positive depth, distance band, viewing cone
+    cam_center = -jnp.einsum("ji,j->i", R, t)  # -R^T t
+    rays = mp_pos - cam_center[None, :]
+    d = jnp.linalg.norm(rays, axis=1)
+    view_cos = jnp.sum(rays * mp_normal, axis=1) / jnp.maximum(
+        d * jnp.linalg.norm(mp_normal, axis=1), 1e-9
+    )
+    # distance band with the reference's margins (Frame::isInFrustum checks
+    # [0.8 * minDist, 1.2 * maxDist], src/Frame.cc:170-173)
+    visible = (
+        mp_valid & (z > 0) & in_image(uv, cam)
+        & (d >= 0.8 * mp_min_dist) & (d <= 1.2 * mp_max_dist)
+        & (view_cos > view_cos_limit)
+    )
+
+    # scale prediction from distance (KeyFrame::PredictScale semantics)
+    ratio_d = jnp.log(jnp.maximum(mp_max_dist, 1e-9) / jnp.maximum(d, 1e-9))
+    pred_level = jnp.clip(
+        jnp.ceil(ratio_d / jnp.log(scale_factor)).astype(jnp.int32), 0, n_levels - 1
+    )
+
+    dist = m.hamming_matrix(mp_desc, cur_desc)
+    r = radius * scale_factor ** pred_level.astype(jnp.float32)
+    mask = (
+        m.window_mask(uv, cur_xy, r)
+        & m.level_mask(pred_level, cur_level, lo=1, hi=1)
+        & m.valid_mask(visible, cur_valid)
+    )
+    gated = m.apply_masks(dist, mask)
+    mm = m.match_nn(gated, max_dist=max_dist, ratio=ratio)
+    mm = m.resolve_duplicates(mm, cur_xy.shape[0])
+
+    n_cur = cur_xy.shape[0]
+    inv = jnp.full((n_cur,), -1, jnp.int32)
+    rows = jnp.arange(mp_pos.shape[0], dtype=jnp.int32)
+    inv = inv.at[jnp.where(mm.valid, mm.idx, n_cur - 1)].max(
+        jnp.where(mm.valid, rows, -1)
+    )
+    avalid = inv >= 0
+    src = jnp.clip(inv, 0, None)
+    assoc = Association(point_idx=src, pos=mp_pos[src], valid=avalid)
+    return assoc, visible
+
+
+@jax.jit
+def init_window_match(
+    xy1, desc1, level1, angle1, valid1,
+    xy2, desc2, level2, angle2, valid2,
+    radius: float = 100.0, max_dist: int = 50, ratio: float = 0.9,
+):
+    """SearchForInitialization (src/ORBmatcher.cc:598-713): window search at
+    level 0, mutual best, ratio test, rotation consistency.  Returns Matches
+    rows=frame1."""
+    dist = m.hamming_matrix(desc1, desc2)
+    mask = (
+        m.window_mask(xy1, xy2, radius)
+        & m.valid_mask(valid1 & (level1 == 0), valid2 & (level2 == 0))
+    )
+    gated = m.apply_masks(dist, mask)
+    mm = m.match_nn(gated, max_dist=max_dist, ratio=ratio, mutual=True)
+    keep = m.rotation_consistency(angle1, angle2, mm)
+    mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist, valid=keep)
+    return m.resolve_duplicates(mm, xy2.shape[0])

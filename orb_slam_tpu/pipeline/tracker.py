@@ -1,0 +1,460 @@
+"""Tracking state machine: the host orchestrator of the per-frame pipeline.
+
+Replaces the Tracking thread (src/Tracking.cc) — but where the reference
+interleaves three threads over a mutex-guarded map, this design runs pure
+jitted kernels over SoA state and serializes map commits on the host
+(SURVEY.md §2.3).  Keyframe-rate work (LocalMapper) runs synchronously after
+the frame for now; the dispatch boundary is already async-friendly because
+every kernel is a pure function of (frame, map snapshot).
+
+States mirror Tracking.h:57-64: NOT_INITIALIZED -> INITIALIZING -> WORKING
+<-> LOST (SYSTEM_NOT_READY/NO_IMAGES_YET collapse into NOT_INITIALIZED).
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..geometry import se3, camera as cam_mod
+from ..frontend.extractor import FrameFeatures
+from ..mapping import mapstore
+from ..solvers import initializer, pose_opt, bundle_adjust as ba
+from . import frame as frame_mod
+from . import track_kernels as tk
+from .local_mapper import LocalMapper
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    INITIALIZING = 1
+    WORKING = 2
+    LOST = 3
+
+
+@dataclass
+class FrameRecord:
+    frame_id: int
+    timestamp: float
+    R: np.ndarray
+    t: np.ndarray
+    tracked: bool
+
+
+@dataclass
+class Tracker:
+    cfg: SystemConfig
+    cam: cam_mod.CameraParams
+    slam_map: mapstore.SlamMap
+    local_mapper: LocalMapper
+
+    state: TrackState = TrackState.NOT_INITIALIZED
+    frame_id: int = 0
+    last_kf_frame_id: int = -10**9
+    ref_kf: int = -1
+    n_ref_tracked: int = 0
+
+    # motion model: velocity = T_cur * T_last^-1
+    vel_R: Optional[np.ndarray] = None
+    vel_t: Optional[np.ndarray] = None
+
+    # last frame state
+    _prev_localmap_matches: int = 0
+    last_frame: Optional[frame_mod.FrameData] = None
+    last_R: Optional[jnp.ndarray] = None
+    last_t: Optional[jnp.ndarray] = None
+    last_assoc_pos: Optional[jnp.ndarray] = None   # [N,3] per-slot landmark
+    last_assoc_pid: Optional[np.ndarray] = None    # [N] global point ids
+    last_assoc_valid: Optional[jnp.ndarray] = None
+
+    # initialization ref
+    init_frame: Optional[frame_mod.FrameData] = None
+    init_frame_id: int = -1
+    init_timestamp: float = 0.0
+
+    trajectory: List[FrameRecord] = field(default_factory=list)
+    rng_key: jax.Array = field(default_factory=lambda: jax.random.PRNGKey(0))
+    stats: dict = field(default_factory=dict)
+
+    @staticmethod
+    def create(cfg: SystemConfig) -> "Tracker":
+        cam = cam_mod.make_camera(cfg.camera)
+        smap = mapstore.SlamMap.create(cfg.map, cfg.extractor.max_keypoints)
+        lm = LocalMapper(cfg=cfg, cam=cam)
+        return Tracker(cfg=cfg, cam=cam, slam_map=smap, local_mapper=lm)
+
+    # ------------------------------------------------------------------
+    def process(self, feats: FrameFeatures, timestamp: float) -> dict:
+        """Track one frame; returns a metrics dict (SURVEY.md §5.5)."""
+        fd = frame_mod.build_frame(feats, self.cam, self.cfg.extractor)
+        metrics = {"frame_id": self.frame_id, "state": self.state.name,
+                   "n_kp": int(jnp.sum(feats.valid))}
+
+        if self.state in (TrackState.NOT_INITIALIZED, TrackState.INITIALIZING):
+            self._initialize(fd, timestamp, metrics)
+        elif self.state == TrackState.WORKING:
+            self._track(fd, timestamp, metrics)
+        else:  # LOST: re-seed initialization (relocalisation lands in a later
+            # phase; the reference would try BoW reloc, src/Tracking.cc:867)
+            metrics["event"] = "lost"
+
+        self.frame_id += 1
+        metrics["state_after"] = self.state.name
+        metrics["n_map_points"] = self.slam_map.n_mp
+        metrics["n_keyframes"] = self.slam_map.n_kf
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _initialize(self, fd, timestamp, metrics):
+        n_kp = int(jnp.sum(fd.feats.valid))
+        if self.state == TrackState.NOT_INITIALIZED:
+            if n_kp > self.cfg.tracker.min_init_keypoints:
+                self.init_frame = fd
+                self.init_frame_id = self.frame_id
+                self.init_timestamp = timestamp
+                self.state = TrackState.INITIALIZING
+                metrics["event"] = "init_ref_set"
+            return
+
+        if n_kp <= self.cfg.tracker.min_init_keypoints:
+            self.state = TrackState.NOT_INITIALIZED
+            metrics["event"] = "init_ref_dropped"
+            return
+
+        f0, f1 = self.init_frame, fd
+        mm = tk.init_window_match(
+            f0.xy_und, f0.feats.desc, f0.feats.level, f0.feats.angle, f0.feats.valid,
+            f1.xy_und, f1.feats.desc, f1.feats.level, f1.feats.angle, f1.feats.valid,
+            radius=float(self.cfg.matcher.window_init),
+        )
+        n_matches = int(jnp.sum(mm.valid))
+        metrics["init_matches"] = n_matches
+        if n_matches < self.cfg.tracker.min_init_matches:
+            self.state = TrackState.NOT_INITIALIZED
+            metrics["event"] = "init_too_few_matches"
+            return
+
+        # paired coordinates for the initializer (rows of frame 0)
+        j = jnp.clip(mm.idx, 0, None)
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        res = initializer.initialize(
+            sub, f0.xy_und, f1.xy_und[j], mm.valid,
+            jnp.asarray(self.cfg.camera.K), self.cfg.initializer,
+        )
+        if not bool(res.ok):
+            metrics["event"] = "init_geometry_failed"
+            # keep the reference frame; try again with the next frame
+            return
+
+        self._create_initial_map(f0, f1, mm, res, timestamp, metrics)
+
+    def _create_initial_map(self, f0, f1, mm, res, timestamp, metrics):
+        """CreateInitialMap (src/Tracking.cc:394-479): two keyframes, the
+        triangulated points, init BA, median-depth normalization."""
+        good = np.asarray(res.good)
+        X = np.asarray(res.points)
+        slots0 = np.where(good)[0]
+        slots1 = np.asarray(mm.idx)[slots0]
+
+        smap = self.slam_map
+        N = f0.xy_und.shape[0]
+
+        obs0 = np.full(N, -1, np.int32)
+        obs1 = np.full(N, -1, np.int32)
+
+        kf0 = smap.add_keyframe(
+            jnp.eye(3), jnp.zeros(3),
+            f0.xy_und, f0.feats.level, f0.feats.angle, f0.feats.desc,
+            f0.feats.valid, jnp.asarray(obs0),
+            self.init_frame_id, self.init_timestamp, parent=-1,
+        )
+        kf1 = smap.add_keyframe(
+            res.R, res.t,
+            f1.xy_und, f1.feats.level, f1.feats.angle, f1.feats.desc,
+            f1.feats.valid, jnp.asarray(obs1),
+            self.frame_id, timestamp, parent=kf0,
+        )
+
+        ids = smap.add_points(
+            jnp.asarray(X), f0.feats.desc, jnp.zeros((N, 3)),
+            jnp.zeros(N), jnp.full(N, np.inf), kf1, good,
+        )
+        obs0[good] = ids[good]
+        obs1h = np.full(N, -1, np.int32)
+        obs1h[slots1] = ids[slots0]
+        smap.set_observations(kf0, jnp.arange(N), jnp.asarray(obs0))
+        smap.set_observations(kf1, jnp.arange(N), jnp.asarray(obs1h))
+
+        # init BA (20 iters, Tracking.cc:448)
+        self.local_mapper.global_ba(smap)
+
+        # median-depth normalization (Tracking.cc:451-475)
+        st = smap.state
+        pos = np.asarray(st.mp_pos[: smap.n_mp])
+        valid = np.asarray(st.mp_valid[: smap.n_mp])
+        R1 = np.asarray(st.kf_R[kf1])
+        t1 = np.asarray(st.kf_t[kf1])
+        z0 = pos[valid][:, 2]  # kf0 at identity: depth = z
+        if len(z0) < self.cfg.tracker.min_init_matches or np.median(z0) <= 0:
+            metrics["event"] = "init_rejected_after_ba"
+            self._reset_map()
+            return
+        med = float(np.median(z0))
+        scale = 1.0 / med
+        smap.state = st._replace(
+            mp_pos=st.mp_pos * scale,
+            kf_t=st.kf_t.at[kf1].set(jnp.asarray(t1 * scale)),
+        )
+
+        # point stats (normals, distance bands, descriptors already set)
+        self.local_mapper.refresh_point_stats(smap)
+
+        st = smap.state
+        self.last_R = st.kf_R[kf1]
+        self.last_t = st.kf_t[kf1]
+        self.last_frame = f1
+        pid = np.asarray(smap.state.kf_obs[kf1])
+        self.last_assoc_pid = pid
+        self.last_assoc_valid = jnp.asarray(pid >= 0)
+        self.last_assoc_pos = smap.state.mp_pos[jnp.clip(jnp.asarray(pid), 0, None)]
+        self.ref_kf = kf1
+        self.n_ref_tracked = int((pid >= 0).sum())
+        self.last_kf_frame_id = self.frame_id
+        self.vel_R, self.vel_t = None, None
+        self.state = TrackState.WORKING
+        metrics["event"] = "map_initialized"
+        metrics["n_init_points"] = int(good.sum())
+
+        self.trajectory.append(FrameRecord(
+            self.init_frame_id, self.init_timestamp,
+            np.eye(3), np.zeros(3), True))
+        self.trajectory.append(FrameRecord(
+            self.frame_id, timestamp,
+            np.asarray(self.last_R), np.asarray(self.last_t), True))
+
+    def _reset_map(self):
+        self.slam_map = mapstore.SlamMap.create(
+            self.cfg.map, self.cfg.extractor.max_keypoints)
+        self.state = TrackState.NOT_INITIALIZED
+        self.ref_kf = -1
+        self.vel_R = None
+
+    # ------------------------------------------------------------------
+    def _track(self, fd, timestamp, metrics):
+        tcfg = self.cfg.tracker
+        # --- pose prediction (motion model, Tracking.cc:130-139) ----------
+        if tcfg.use_motion_model and self.vel_R is not None:
+            R_pred = jnp.asarray(self.vel_R) @ self.last_R
+            t_pred = jnp.asarray(self.vel_R) @ self.last_t + jnp.asarray(self.vel_t)
+        else:
+            R_pred, t_pred = self.last_R, self.last_t
+
+        # --- frame-to-frame projection match (TrackWithMotionModel) -------
+        lf = self.last_frame
+        assoc = tk.match_last_frame(
+            fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle, fd.feats.valid,
+            self.last_assoc_pos, lf.feats.desc, lf.feats.level, lf.feats.angle,
+            self.last_assoc_valid,
+            R_pred, t_pred, self.cam,
+            radius=jnp.float32(15.0), max_dist=self.cfg.matcher.th_high,
+        )
+        n_f2f = int(jnp.sum(assoc.valid))
+        if n_f2f < self.cfg.tracker.min_track_inliers * 2:
+            # wide-window fallback (TrackPreviousFrame's escalating
+            # WindowSearch, src/Tracking.cc:498-570)
+            assoc = tk.match_last_frame(
+                fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle,
+                fd.feats.valid,
+                self.last_assoc_pos, lf.feats.desc, lf.feats.level,
+                lf.feats.angle, self.last_assoc_valid,
+                R_pred, t_pred, self.cam,
+                radius=jnp.float32(60.0), max_dist=self.cfg.matcher.th_high,
+            )
+            n_f2f = int(jnp.sum(assoc.valid))
+        metrics["f2f_matches"] = n_f2f
+
+        R_cur, t_cur = R_pred, t_pred
+        if n_f2f >= tcfg.min_track_inliers:
+            r1 = pose_opt.optimize_pose(
+                R_pred, t_pred, assoc.pos, fd.xy_und, fd.inv_sigma2,
+                assoc.valid, self.cam, self.cfg.solver)
+            if int(r1.n_inliers) >= tcfg.min_track_inliers:
+                R_cur, t_cur = r1.R, r1.t
+
+        # --- local map tracking (TrackLocalMap) ---------------------------
+        mp = self._local_points()
+        assoc2, visible_mask = tk.match_local_map(
+            fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle, fd.feats.valid,
+            mp["pos"], mp["desc"], mp["normal"], mp["min_d"], mp["max_d"], mp["valid"],
+            R_cur, t_cur, self.cam,
+            radius=jnp.float32(6.0), max_dist=self.cfg.matcher.th_high,
+            n_levels=self.cfg.extractor.n_levels,
+        )
+        n_lm = int(jnp.sum(assoc2.valid))
+        if n_lm < max(self.cfg.tracker.min_localmap_inliers * 2,
+                      int(0.6 * self._prev_localmap_matches)):
+            # matching yield collapsed -> widen the search (the reference
+            # doubles th after relocalisation, src/Tracking.cc:713-716; here
+            # it also covers motion-model overshoot)
+            assoc2, visible_mask = tk.match_local_map(
+                fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle,
+                fd.feats.valid,
+                mp["pos"], mp["desc"], mp["normal"], mp["min_d"], mp["max_d"],
+                mp["valid"],
+                R_cur, t_cur, self.cam,
+                radius=jnp.float32(18.0), max_dist=self.cfg.matcher.th_high,
+                n_levels=self.cfg.extractor.n_levels,
+            )
+            n_lm = int(jnp.sum(assoc2.valid))
+        self._prev_localmap_matches = n_lm
+        metrics["localmap_matches"] = n_lm
+        metrics["n_visible"] = int(jnp.sum(visible_mask))
+
+        r2 = pose_opt.optimize_pose(
+            R_cur, t_cur, assoc2.pos, fd.xy_und, fd.inv_sigma2,
+            assoc2.valid, self.cam, self.cfg.solver)
+        n_inl = int(r2.n_inliers)
+        metrics["inliers"] = n_inl
+
+        if n_inl < tcfg.min_localmap_inliers:
+            self.state = TrackState.LOST
+            metrics["event"] = "tracking_lost"
+            self.trajectory.append(FrameRecord(
+                self.frame_id, timestamp,
+                np.asarray(R_cur), np.asarray(t_cur), False))
+            return
+
+        # SO(3) projection: without this, motion-model composition compounds
+        # off-manifold f32 error geometrically (see se3.orthonormalize)
+        R_cur, t_cur = se3.orthonormalize(r2.R), r2.t
+
+        # update visibility stats for culling (MapPoint found/visible,
+        # src/MapPoint.cc:167-183: visible = in frustum, found = tracked)
+        pid_local = np.asarray(assoc2.point_idx)
+        inl = np.asarray(r2.inliers)
+        self._bump_point_stats(
+            mp["ids"], pid_local, np.asarray(assoc2.valid), inl,
+            np.asarray(visible_mask))
+
+        # --- motion model update ------------------------------------------
+        Rl, tl = np.asarray(self.last_R), np.asarray(self.last_t)
+        Rc, tc = np.asarray(R_cur), np.asarray(t_cur)
+        self.vel_R = np.asarray(se3.orthonormalize(jnp.asarray(Rc @ Rl.T)))
+        self.vel_t = tc - self.vel_R @ tl
+
+        self.last_R, self.last_t = R_cur, t_cur
+        self.last_frame = fd
+
+        # per-slot association of this frame (for next frame-to-frame step)
+        pid_global = np.where(
+            np.asarray(assoc2.valid) & inl, mp["ids"][pid_local], -1
+        ).astype(np.int32)
+        self.last_assoc_pid = pid_global
+        self.last_assoc_valid = jnp.asarray(pid_global >= 0)
+        self.last_assoc_pos = self.slam_map.state.mp_pos[
+            jnp.clip(jnp.asarray(pid_global), 0, None)]
+
+        self.trajectory.append(FrameRecord(
+            self.frame_id, timestamp, Rc, tc, True))
+
+        # --- keyframe decision (NeedNewKeyFrame, Tracking.cc:651-689) -----
+        # The 90% rule compares against the running maximum of tracked
+        # inliers since the last keyframe (equivalent to the reference's
+        # "tracked < 0.9 * reference-KF matches": right after insertion the
+        # reference count equals the tracking yield, and our running max
+        # keeps the trigger live as the map grows between keyframes).
+        self.n_ref_tracked = max(self.n_ref_tracked, n_inl)
+        frames_since = self.frame_id - self.last_kf_frame_id
+        need = (
+            frames_since >= tcfg.max_frames_between_kf
+            or (n_inl < tcfg.kf_min_tracked_ratio * max(self.n_ref_tracked, 1)
+                and frames_since >= tcfg.min_frames_between_kf)
+        ) and n_inl >= tcfg.kf_min_tracked
+        if need:
+            self._create_keyframe(fd, timestamp, pid_global, metrics)
+
+    # ------------------------------------------------------------------
+    def _local_points(self) -> dict:
+        """Local map point slice, padded to a static capacity.
+
+        Round-1 policy: all live points up to local_ba_max_points (the
+        covisibility-windowed selection of UpdateReference, Tracking.cc:754,
+        lands with the keyframe-database phase)."""
+        smap = self.slam_map
+        cap = self.cfg.map.local_ba_max_points
+        st = smap.state
+        ids = np.where(np.asarray(st.mp_valid))[0][:cap]
+        pad = cap - len(ids)
+        sel = jnp.asarray(np.concatenate([ids, np.zeros(pad, np.int64)]))
+        return {
+            "ids": np.concatenate([ids, np.full(pad, -1)]).astype(np.int32),
+            "pos": st.mp_pos[sel],
+            "desc": st.mp_desc[sel],
+            "normal": st.mp_normal[sel],
+            "min_d": st.mp_min_dist[sel],
+            "max_d": st.mp_max_dist[sel],
+            "valid": jnp.asarray(np.concatenate(
+                [np.ones(len(ids), bool), np.zeros(pad, bool)])),
+        }
+
+    def _bump_point_stats(self, ids, pid_local, matched, inlier, visible):
+        st = self.slam_map.state
+        vis_ids = ids[visible]
+        found_ids = ids[pid_local[matched & inlier]]
+        vis_ids = vis_ids[vis_ids >= 0]
+        found_ids = found_ids[found_ids >= 0]
+        self.slam_map.state = st._replace(
+            mp_visible=st.mp_visible.at[jnp.asarray(vis_ids)].add(1),
+            mp_found=st.mp_found.at[jnp.asarray(found_ids)].add(1),
+        )
+
+    def _create_keyframe(self, fd, timestamp, pid_global, metrics):
+        smap = self.slam_map
+        kf = smap.add_keyframe(
+            self.last_R, self.last_t,
+            fd.xy_und, fd.feats.level, fd.feats.angle, fd.feats.desc,
+            fd.feats.valid, jnp.asarray(pid_global),
+            self.frame_id, timestamp, parent=self.ref_kf,
+        )
+        self.ref_kf = kf
+        self.n_ref_tracked = int((pid_global >= 0).sum())
+        self.last_kf_frame_id = self.frame_id
+        metrics["event"] = "keyframe_inserted"
+        metrics["kf_id"] = kf
+
+        # keyframe-rate map building (synchronous for now)
+        lm_metrics = self.local_mapper.process_keyframe(smap, kf)
+        metrics.update(lm_metrics)
+
+        # keyframe poses may have moved in local BA: refresh cached pose
+        st = smap.state
+        self.last_R = st.kf_R[kf]
+        self.last_t = st.kf_t[kf]
+        pid = np.asarray(st.kf_obs[kf])
+        self.last_assoc_pid = pid
+        self.last_assoc_valid = jnp.asarray(pid >= 0)
+        self.last_assoc_pos = st.mp_pos[jnp.clip(jnp.asarray(pid), 0, None)]
+
+    # ------------------------------------------------------------------
+    def keyframe_trajectory(self):
+        """TUM-format keyframe trajectory (src/main.cc:160-185): camera-to-
+        world poses of all keyframes."""
+        smap = self.slam_map
+        rows = []
+        st = smap.state
+        for k in range(smap.n_kf):
+            R = np.asarray(st.kf_R[k])
+            t = np.asarray(st.kf_t[k])
+            Rwc = R.T
+            twc = -R.T @ t
+            q = np.asarray(se3.to_quaternion(jnp.asarray(Rwc)))
+            rows.append((self.kf_timestamp(k), twc, q))
+        return rows
+
+    def kf_timestamp(self, k):
+        return float(self.slam_map.kf_timestamp[k])
