@@ -1,0 +1,216 @@
+"""Distributed bundle adjustment: landmark-sharded Schur reduction over a
+device mesh (SURVEY.md §2.3 / §7 phase 10; BASELINE.json north star).
+
+Layout:
+  * cameras (keyframe poses) are REPLICATED — the reduced camera system is
+    small (6K x 6K) and every device needs it;
+  * landmarks and their observations are SHARDED over the mesh 'data' axis —
+    every edge lives on the shard that owns its landmark, so the per-landmark
+    3x3 Schur elimination is entirely local;
+  * each device assembles its partial reduced camera system
+    S_local = Hcc_local - W Hpp^-1 W^T over its landmarks, and a single
+    `psum` over the mesh yields the full reduced system (the "psum of
+    reduced camera systems" collective of the north star);
+  * the dense solve runs replicated (identical on all devices — no
+    broadcast needed), landmark back-substitution is local again.
+
+Communication per LM iteration: one psum of [K*6, K*6] + [K, 6] + a few
+scalars — independent of the landmark count, so scaling efficiency grows
+with map size.  Collectives ride ICI inside a pod slice.
+
+This module is mesh-shape agnostic: tests exercise it on a virtual 8-device
+CPU mesh (tests/conftest.py), the driver dry-runs it via
+__graft_entry__.dryrun_multichip, and on a real slice the same code spans
+hosts over DCN.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import SolverConfig
+from ..geometry import se3
+from ..geometry.camera import CameraParams
+from ..solvers.bundle_adjust import BAEdges, _edge_terms, _robust_cost
+from ..solvers.pose_opt import _huber_weight
+
+
+class ShardedBAProblem(NamedTuple):
+    """Host-partitioned BA problem: leading axis = device shard."""
+
+    Xs: jnp.ndarray          # [D, P_shard, 3] landmarks (sharded)
+    cam_idx: jnp.ndarray     # [D, O_shard] int32
+    pt_idx: jnp.ndarray      # [D, O_shard] int32 — LOCAL landmark index
+    uv: jnp.ndarray          # [D, O_shard, 2]
+    inv_sigma2: jnp.ndarray  # [D, O_shard]
+    valid: jnp.ndarray       # [D, O_shard] bool
+
+
+def partition_problem(
+    Xs: np.ndarray, edges: BAEdges, n_shards: int
+) -> ShardedBAProblem:
+    """Partition landmarks contiguously across shards and route each edge to
+    its landmark's shard (host-side, keyframe-rate)."""
+    P_total = Xs.shape[0]
+    P_shard = -(-P_total // n_shards)
+    pt = np.asarray(edges.pt_idx)
+    owner = np.clip(pt // P_shard, 0, n_shards - 1)
+    local_pt = pt - owner * P_shard
+
+    O_shard = 0
+    per_shard = []
+    ev = np.asarray(edges.valid)
+    for d in range(n_shards):
+        sel = np.where((owner == d) & ev)[0]
+        per_shard.append(sel)
+        O_shard = max(O_shard, len(sel))
+    O_shard = max(O_shard, 1)
+
+    D = n_shards
+    cam_idx = np.zeros((D, O_shard), np.int32)
+    pt_idx = np.zeros((D, O_shard), np.int32)
+    uv = np.zeros((D, O_shard, 2), np.float32)
+    isig = np.ones((D, O_shard), np.float32)
+    val = np.zeros((D, O_shard), bool)
+    for d, sel in enumerate(per_shard):
+        n = len(sel)
+        cam_idx[d, :n] = np.asarray(edges.cam_idx)[sel]
+        pt_idx[d, :n] = local_pt[sel]
+        uv[d, :n] = np.asarray(edges.uv)[sel]
+        isig[d, :n] = np.asarray(edges.inv_sigma2)[sel]
+        val[d, :n] = True
+
+    X_pad = np.zeros((D * P_shard, 3), np.float32)
+    X_pad[:P_total] = np.asarray(Xs)
+    return ShardedBAProblem(
+        Xs=jnp.asarray(X_pad.reshape(D, P_shard, 3)),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv),
+        inv_sigma2=jnp.asarray(isig),
+        valid=jnp.asarray(val),
+    )
+
+
+def bundle_adjust_sharded(
+    mesh: Mesh,
+    Rs: jnp.ndarray,
+    ts: jnp.ndarray,
+    prob: ShardedBAProblem,
+    fixed: jnp.ndarray,
+    cam: CameraParams,
+    cfg: SolverConfig = SolverConfig(),
+    n_iters: int = 15,
+    axis: str = "data",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run n_iters robust LM iterations; returns (Rs, ts, Xs [D, P_shard, 3])."""
+    K = Rs.shape[0]
+    delta2 = cfg.huber_delta2
+
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),                       # Rs, ts replicated
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(),                            # fixed mask replicated
+        ),
+        out_specs=(P(), P(), P(axis)),
+    )
+    def run(Rs, ts, Xsh, ci, pi, uvl, isl, vl, fixed):
+        # leading shard axis of size 1 inside the shard
+        edges = BAEdges(cam_idx=ci[0], pt_idx=pi[0], uv=uvl[0],
+                        inv_sigma2=isl[0], valid=vl[0])
+        P_shard = Xsh.shape[1]
+        free = (~fixed).astype(Rs.dtype)
+
+        def step(carry, _):
+            Rs, ts, Xl, lam = carry
+            r, Jc, Jp, z = _edge_terms(Rs, ts, Xl, edges, cam)
+            c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
+            w = _huber_weight(c2, delta2)
+            w = w * edges.inv_sigma2 * edges.valid * (z > 0)
+
+            JcTJc = jnp.einsum("oia,o,oib->oab", Jc, w, Jc)
+            JpTJp = jnp.einsum("oia,o,oib->oab", Jp, w, Jp)
+            JcTJp = jnp.einsum("oia,o,oib->oab", Jc, w, Jp)
+            gc_o = jnp.einsum("oia,o,oi->oa", Jc, w, r)
+            gp_o = jnp.einsum("oia,o,oi->oa", Jp, w, r)
+
+            Hcc = jnp.zeros((K, 6, 6), Rs.dtype).at[edges.cam_idx].add(JcTJc)
+            Hpp = jnp.zeros((P_shard, 3, 3), Rs.dtype).at[edges.pt_idx].add(JpTJp)
+            U = jnp.zeros((P_shard, K, 6, 3), Rs.dtype).at[
+                edges.pt_idx, edges.cam_idx].add(JcTJp)
+            gc = jnp.zeros((K, 6), Rs.dtype).at[edges.cam_idx].add(gc_o)
+            gp = jnp.zeros((P_shard, 3), Rs.dtype).at[edges.pt_idx].add(gp_o)
+
+            eye3 = jnp.eye(3, dtype=Rs.dtype)
+            Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) \
+                + 1e-8 * eye3
+            Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+            M = jnp.einsum("pkab,pbc->pkac", U, Hpp_inv)
+            S_sub = jnp.einsum("pkac,plbc->kalb", M, U)
+            g_sub = jnp.einsum("pkac,pc->ka", M, gp)
+
+            # ---- the collective: psum of reduced camera systems ----
+            Hcc = jax.lax.psum(Hcc, axis)
+            S_sub = jax.lax.psum(S_sub, axis)
+            gc = jax.lax.psum(gc, axis)
+            g_sub = jax.lax.psum(g_sub, axis)
+
+            Hcc_d = Hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc)) \
+                + 1e-8 * jnp.eye(6, dtype=Rs.dtype)
+            S = -S_sub
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+            g_red = gc - g_sub
+
+            S = S * free[:, None, None, None] * free[None, None, :, None]
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+                jnp.einsum("k,ab->kab", 1.0 - free, jnp.eye(6, dtype=Rs.dtype))
+            )
+            g_red = g_red * free[:, None]
+
+            dxc = -jnp.linalg.solve(S.reshape(6 * K, 6 * K), g_red.reshape(-1))
+            dxc = dxc.reshape(K, 6)
+            dxp = -jnp.einsum(
+                "pab,pb->pa", Hpp_inv, gp + jnp.einsum("pkac,ka->pc", U, dxc)
+            )
+
+            Rs1, ts1 = jax.vmap(se3.retract)(Rs, ts, dxc)
+            Xl1 = Xl + dxp
+
+            r1, _, _, z1 = _edge_terms(Rs1, ts1, Xl1, edges, cam)
+            active = edges.valid.astype(Rs.dtype)
+            cost_old = jax.lax.psum(
+                _robust_cost(r, z, edges.inv_sigma2, active, delta2), axis)
+            cost_new = jax.lax.psum(
+                _robust_cost(r1, z1, edges.inv_sigma2, active, delta2), axis)
+            accept = (cost_new < cost_old) & jnp.all(jnp.isfinite(dxc))
+            Rs = jnp.where(accept, Rs1, Rs)
+            ts = jnp.where(accept, ts1, ts)
+            Xl = jnp.where(accept, Xl1, Xl)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return (Rs, ts, Xl, lam), cost_new
+
+        lam0 = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
+        (Rs, ts, Xl, _), _ = jax.lax.scan(
+            step, (Rs, ts, Xsh[0], lam0), None, length=n_iters
+        )
+        return Rs, ts, Xl[None]
+
+    return run(Rs, ts, prob.Xs, prob.cam_idx, prob.pt_idx, prob.uv,
+               prob.inv_sigma2, prob.valid, fixed)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))

@@ -1,0 +1,69 @@
+"""Distributed BA must agree with single-device BA (SURVEY.md §4: multi-chip
+tests assert distributed BA == single-chip BA before measuring scaling)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam_tpu.config import SolverConfig
+from orb_slam_tpu.parallel import dist_ba
+from orb_slam_tpu.solvers import bundle_adjust as ba
+from test_bundle_adjust import build_problem, make_cam, reproj_rmse
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(21)
+    return build_problem(rng, n_kf=6, n_pts=256, noise=0.3)
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_matches_reference_reduction(problem):
+    """The psum-reduced camera system must equal the single-device one:
+    run both for the same iterations and compare end states."""
+    p = problem
+    mesh = dist_ba.make_mesh(8)
+    prob = dist_ba.partition_problem(np.asarray(p["X0"]), p["edges"], 8)
+    Rs, ts, Xs = dist_ba.bundle_adjust_sharded(
+        mesh, p["Rs0"], p["ts0"], prob, p["fixed"], p["cam"],
+        SolverConfig(), n_iters=12)
+    X_flat = np.asarray(Xs).reshape(-1, 3)[: p["X0"].shape[0]]
+
+    rmse_dist, _ = reproj_rmse(Rs, ts, X_flat, p["edges"], p["cam"])
+    rmse0, _ = reproj_rmse(p["Rs0"], p["ts0"], p["X0"], p["edges"], p["cam"])
+    assert rmse_dist < rmse0 * 0.25, f"{rmse0} -> {rmse_dist}"
+    assert rmse_dist < 0.6
+
+    # single-device reference with the same robust schedule
+    res = ba.bundle_adjust(p["Rs0"], p["ts0"], p["X0"], p["fixed"],
+                           p["edges"], p["cam"], two_phase=False)
+    rmse_single, _ = reproj_rmse(res.R, res.t, res.points, p["edges"], p["cam"])
+    # both should reach the same basin (exact float equality is not expected:
+    # psum reduction order differs)
+    assert abs(rmse_dist - rmse_single) < 0.15
+
+
+def test_partition_preserves_all_edges(problem):
+    p = problem
+    prob = dist_ba.partition_problem(np.asarray(p["X0"]), p["edges"], 8)
+    n_valid = int(np.asarray(prob.valid).sum())
+    assert n_valid == int(np.asarray(p["edges"].valid).sum())
+    # every edge's landmark is owned by its shard
+    P_shard = prob.Xs.shape[1]
+    for d in range(8):
+        v = np.asarray(prob.valid[d])
+        assert np.all(np.asarray(prob.pt_idx[d])[v] < P_shard)
+
+
+def test_fixed_camera_untouched(problem):
+    p = problem
+    mesh = dist_ba.make_mesh(8)
+    prob = dist_ba.partition_problem(np.asarray(p["X0"]), p["edges"], 8)
+    Rs, ts, _ = dist_ba.bundle_adjust_sharded(
+        mesh, p["Rs0"], p["ts0"], prob, p["fixed"], p["cam"],
+        SolverConfig(), n_iters=6)
+    np.testing.assert_allclose(np.asarray(Rs)[0], np.asarray(p["Rs0"])[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ts)[0], np.asarray(p["ts0"])[0], atol=1e-6)
