@@ -30,6 +30,7 @@ from . import mapping_kernels as mk
 class LocalMapper:
     cfg: SystemConfig
     cam: cam_mod.CameraParams
+    last_culled_kfs: list = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, smap: mapstore.SlamMap, kf: int) -> dict:
@@ -43,6 +44,7 @@ class LocalMapper:
         metrics["fused"] = self.fuse_neighbors(smap, kf)
         self.refresh_point_stats(smap)
         self.local_ba(smap, kf)
+        metrics["culled_kfs"] = self.cull_keyframes(smap, kf)
         return metrics
 
     # ------------------------------------------------------------------
@@ -406,6 +408,59 @@ class LocalMapper:
         res = ba.bundle_adjust(Rs, ts, Xs, fixed, edges, self.cam,
                                self.cfg.solver, two_phase=False)
         self._write_back(smap, res, book)
+
+    # ------------------------------------------------------------------
+    def cull_keyframes(self, smap: mapstore.SlamMap, current_kf: int) -> int:
+        """KeyFrameCulling (src/LocalMapping.cc:539-593): drop a covisible
+        keyframe when >= 90% of its landmarks are observed by >= 3 other
+        keyframes.  (The reference additionally requires the other
+        observations to be at the same or finer octave; the scale check is
+        omitted — it only matters for strongly multi-scale maps.)
+
+        Never culls keyframe 0 (gauge anchor), the current keyframe, or
+        keyframes holding loop edges (KeyFrame::SetNotErase semantics)."""
+        lm_cfg = self.cfg.local_mapping
+        st = smap.state
+        P = self.cfg.map.max_points
+        weights = np.asarray(mapstore.covisibility_row(st, current_kf, P))
+        candidates = [int(k) for k in np.where(weights > 0)[0]]
+        protected = {0, current_kf}
+        for a, b in (smap.loop_edges or []):
+            protected |= {a, b}
+
+        counts = np.asarray(mapstore.point_observation_counts(st))
+        self.last_culled_kfs = []
+        for k in candidates:
+            if k in protected or not bool(np.asarray(st.kf_valid[k])):
+                continue
+            obs = np.asarray(st.kf_obs[k])
+            pid = obs[obs >= 0]
+            if len(pid) < 10:
+                continue
+            redundant = counts[pid] >= lm_cfg.kf_culling_min_obs + 1
+            if redundant.mean() >= lm_cfg.kf_culling_redundancy:
+                self._erase_keyframe(smap, k)
+                counts = np.asarray(
+                    mapstore.point_observation_counts(smap.state))
+                self.last_culled_kfs.append(k)
+        return len(self.last_culled_kfs)
+
+    def _erase_keyframe(self, smap: mapstore.SlamMap, k: int):
+        """Remove keyframe k: clear observations, invalidate, re-parent its
+        spanning-tree children to its own parent (simplified vs the greedy
+        re-parenting of KeyFrame.cc:497-588 — correct for linear chains)."""
+        st = smap.state
+        N = st.kf_obs.shape[1]
+        smap.state = st._replace(
+            kf_valid=st.kf_valid.at[k].set(False),
+            kf_obs=st.kf_obs.at[k].set(jnp.full((N,), -1, jnp.int32)),
+            kf_kp_valid=st.kf_kp_valid.at[k].set(False),
+        )
+        p = int(smap.parent[k])
+        for c in range(smap.n_kf):
+            if int(smap.parent[c]) == k:
+                smap.parent[c] = p
+        smap.parent[k] = -1
 
     # ------------------------------------------------------------------
     def cull_points(self, smap: mapstore.SlamMap, current_kf: int) -> int:

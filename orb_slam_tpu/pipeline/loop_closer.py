@@ -1,0 +1,251 @@
+"""Loop detection and correction: host orchestration of the batched
+place-recognition + Sim3 + pose-graph kernels.
+
+Replaces the LoopClosing thread (src/LoopClosing.cc).  Per new keyframe:
+  1. DetectLoop (:99-229): BoW candidates gated by a minimum-score vs the
+     covisible neighborhood and by covisibility-consistency across 3
+     consecutive keyframes;
+  2. ComputeSim3 (:231-406): descriptor matching against each candidate's
+     landmarks, batched Sim3 RANSAC, acceptance by inlier and total-match
+     counts;
+  3. CorrectLoop (:408-570): new loop edge, essential-graph Sim3
+     optimization over all keyframes (fixed = loop match), landmark
+     re-mapping through reference keyframes, duplicate fusion across the
+     loop, spanning-tree/loop-edge bookkeeping.  (ORB-SLAM v1 runs no
+     global BA after loops — neither do we.)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..geometry import se3, sim3, camera as cam_mod
+from ..mapping import mapstore
+from ..ops import match as m
+from ..place import vocabulary as voc_mod
+from ..place import database as db_mod
+from ..solvers import sim3_solver, pose_graph
+
+
+@dataclass
+class LoopCloser:
+    cfg: SystemConfig
+    cam: cam_mod.CameraParams
+    voc: Optional[voc_mod.Vocabulary] = None
+    db: Optional[db_mod.BowDatabase] = None
+    kf_bow: dict = field(default_factory=dict)
+    last_loop_kf: int = -(10 ** 9)
+    consistent_groups: List = field(default_factory=list)
+    rng_key: jax.Array = field(default_factory=lambda: jax.random.PRNGKey(7))
+    n_loops_closed: int = 0
+
+    def ensure_vocabulary(self, descriptors: np.ndarray):
+        if self.voc is None:
+            self.voc = voc_mod.train(descriptors, k=8, depth=3)
+            self.db = db_mod.BowDatabase.create(
+                self.cfg.map.max_keyframes, self.voc.n_words)
+
+    def add_keyframe(self, smap: mapstore.SlamMap, kf: int):
+        st = smap.state
+        bow = voc_mod.transform(self.voc, st.kf_desc[kf], st.kf_kp_valid[kf])
+        self.kf_bow[kf] = bow
+        self.db = self.db.add(kf, bow)
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, smap: mapstore.SlamMap, kf: int) -> dict:
+        metrics = {}
+        if self.voc is None:
+            return metrics
+        self.add_keyframe(smap, kf)
+        if kf - self.last_loop_kf < self.cfg.loop.min_kfs_between_loops \
+                or smap.n_kf < self.cfg.loop.min_kfs_between_loops:
+            return metrics
+
+        cand = self._detect(smap, kf)
+        metrics["loop_candidates"] = len(cand)
+        if not len(cand):
+            return metrics
+
+        hit = self._compute_sim3(smap, kf, cand)
+        if hit is None:
+            return metrics
+        loop_kf, g12 = hit
+        metrics["loop_with"] = loop_kf
+        self._correct(smap, kf, loop_kf, g12)
+        self.last_loop_kf = kf
+        self.n_loops_closed += 1
+        metrics["loop_closed"] = True
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _detect(self, smap: mapstore.SlamMap, kf: int) -> np.ndarray:
+        st = smap.state
+        P = self.cfg.map.max_points
+        weights_row = np.asarray(mapstore.covisibility_row(st, kf, P))
+        neighbors = np.where(weights_row > 0)[0]
+
+        # minScore = min BoW similarity vs the covisible neighborhood
+        # (LoopClosing.cc:119-136)
+        bow = self.kf_bow[kf]
+        min_score = 1.0
+        for nb in neighbors:
+            if int(nb) in self.kf_bow:
+                sc = float(voc_mod.score_l1(bow, self.kf_bow[int(nb)]))
+                min_score = min(min_score, sc)
+        if not len(neighbors):
+            min_score = 0.05
+
+        exclude = np.zeros(self.cfg.map.max_keyframes, bool)
+        exclude[kf] = True
+        exclude[neighbors] = True
+        covis = np.asarray(mapstore.covisibility_matrix(st, P)).astype(np.float64)
+        cand = db_mod.detect_candidates(
+            self.db, bow, exclude, covis,
+            min_score=max(min_score, 1e-3),
+            shared_ratio=self.cfg.loop.shared_word_ratio,
+            acc_ratio=self.cfg.loop.acc_score_ratio,
+            top_group=self.cfg.loop.covisibility_group_top,
+        )
+
+        # covisibility-consistency over consecutive keyframes
+        # (LoopClosing.cc:152-228): a candidate must reappear (sharing a
+        # covisibility group) for `consistency_threshold` keyframes.
+        enough = []
+        new_groups = []
+        for c in cand:
+            group = set(np.where(covis[c] > 0)[0].tolist()) | {int(c)}
+            matched = False
+            for prev_group, count in self.consistent_groups:
+                if group & prev_group:
+                    new_groups.append((group, count + 1))
+                    if count + 1 >= self.cfg.loop.consistency_threshold:
+                        enough.append(int(c))
+                    matched = True
+                    break
+            if not matched:
+                new_groups.append((group, 1))
+        self.consistent_groups = new_groups
+        return np.asarray(enough, np.int64)
+
+    # ------------------------------------------------------------------
+    def _compute_sim3(self, smap: mapstore.SlamMap, kf: int, cands):
+        st = smap.state
+        K = jnp.asarray(self.cfg.camera.K)
+        scale2 = self.cfg.extractor.sigma2
+
+        for cand in cands:
+            cand = int(cand)
+            # landmark-to-landmark descriptor matching (SearchByBoW analog;
+            # on TPU a full dense match needs no BoW gating)
+            obs1 = np.asarray(st.kf_obs[kf])
+            obs2 = np.asarray(st.kf_obs[cand])
+            s1 = np.where(obs1 >= 0)[0]
+            s2 = np.where(obs2 >= 0)[0]
+            if len(s1) < self.cfg.loop.min_bow_matches or \
+               len(s2) < self.cfg.loop.min_bow_matches:
+                continue
+            d1 = st.kf_desc[kf]
+            d2 = st.kf_desc[cand]
+            dist = m.hamming_matrix(d1, d2)
+            mask = m.valid_mask(jnp.asarray(obs1 >= 0), jnp.asarray(obs2 >= 0))
+            mm = m.match_nn(m.apply_masks(dist, mask),
+                            max_dist=self.cfg.matcher.th_low, ratio=0.75)
+            mm = m.resolve_duplicates(mm, d2.shape[0])
+            n_matches = int(jnp.sum(mm.valid))
+            if n_matches < self.cfg.loop.min_bow_matches:
+                continue
+
+            # 3D-3D pairs in each keyframe's camera frame
+            idx2 = np.asarray(jnp.clip(mm.idx, 0, None))
+            vm = np.asarray(mm.valid)
+            pid1 = obs1
+            pid2 = obs2[idx2]
+            pv = vm & (pid1 >= 0) & (pid2 >= 0)
+            Xw1 = st.mp_pos[jnp.asarray(np.clip(pid1, 0, None))]
+            Xw2 = st.mp_pos[jnp.asarray(np.clip(pid2, 0, None))]
+            X1 = se3.transform(st.kf_R[kf], st.kf_t[kf], Xw1)
+            X2 = se3.transform(st.kf_R[cand], st.kf_t[cand], Xw2)
+            lv1 = np.asarray(st.kf_level[kf])
+            lv2 = np.asarray(st.kf_level[cand])[idx2]
+            me1 = jnp.asarray(9.21 * scale2[np.clip(lv1, 0, len(scale2) - 1)])
+            me2 = jnp.asarray(9.21 * scale2[np.clip(lv2, 0, len(scale2) - 1)])
+
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            res = sim3_solver.sim3_ransac(
+                sub, X1, X2,
+                st.kf_xy[kf], st.kf_xy[cand][jnp.asarray(idx2)],
+                me1, me2, jnp.asarray(pv), K,
+                min_inliers=self.cfg.loop.min_sim3_inliers)
+            if bool(res.ok):
+                return cand, (res.s, res.R, res.t)
+        return None
+
+    # ------------------------------------------------------------------
+    def _correct(self, smap: mapstore.SlamMap, kf: int, loop_kf: int, g12):
+        st = smap.state
+        K_cap = self.cfg.map.max_keyframes
+        n_kf = smap.n_kf
+        P = self.cfg.map.max_points
+
+        # current keyframe Sim3 states (s=1 embeddings of SE3)
+        s_all = jnp.ones(n_kf)
+        R_all = st.kf_R[:n_kf]
+        t_all = st.kf_t[:n_kf]
+
+        # edge list: spanning tree + strong covisibility + old loop edges +
+        # the new loop edge, measured with pre-correction relative poses
+        covis = np.asarray(mapstore.covisibility_matrix(st, P))[:n_kf, :n_kf]
+        pairs = set()
+        for k in range(1, n_kf):
+            p = int(smap.parent[k])
+            if p >= 0:
+                pairs.add((min(k, p), max(k, p)))
+        strong = np.argwhere(covis >= self.cfg.loop.covisibility_weight_strong)
+        for a, b in strong:
+            if a < b:
+                pairs.add((int(a), int(b)))
+        for a, b in smap.loop_edges:
+            pairs.add((min(a, b), max(a, b)))
+
+        ei, ej, sm, Rm, tm = [], [], [], [], []
+        for a, b in sorted(pairs):
+            # Shat_ab = S_a o S_b^-1 from current estimates
+            inv = sim3.inverse(s_all[b], R_all[b], t_all[b])
+            meas = sim3.compose(s_all[a], R_all[a], t_all[a], *inv)
+            ei.append(a); ej.append(b)
+            sm.append(meas[0]); Rm.append(meas[1]); tm.append(meas[2])
+        # the new loop edge: S_kf_corrected o S_loop^-1 = g12
+        gs, gR, gt = g12
+        ei.append(kf); ej.append(loop_kf)
+        sm.append(gs); Rm.append(gR); tm.append(gt)
+
+        edges = pose_graph.Sim3Edges(
+            i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+            s_meas=jnp.stack(sm), R_meas=jnp.stack(Rm), t_meas=jnp.stack(tm),
+            valid=jnp.ones(len(ei), bool),
+        )
+        fixed = jnp.asarray(np.arange(n_kf) == loop_kf)
+        s_new, R_new, t_new, _ = pose_graph.optimize_essential_graph(
+            s_all, R_all, t_all, fixed, edges,
+            n_iters=self.cfg.solver.essential_graph_iters)
+
+        # re-map landmarks through their reference keyframes, then fold the
+        # scale into SE3 translations (LoopClosing.cc:480-503)
+        ref = jnp.clip(st.mp_ref_kf, 0, n_kf - 1)
+        new_pos = pose_graph.correct_points(
+            st.mp_pos, ref, s_all, R_all, t_all, s_new, R_new, t_new)
+        new_pos = jnp.where(st.mp_valid[:, None], new_pos, st.mp_pos)
+        R_se3, t_se3 = sim3.to_se3(s_new, R_new, t_new)
+        R_se3 = se3.orthonormalize(R_se3)
+
+        smap.state = st._replace(
+            kf_R=st.kf_R.at[:n_kf].set(R_se3),
+            kf_t=st.kf_t.at[:n_kf].set(t_se3),
+            mp_pos=new_pos,
+        )
+        smap.loop_edges.append((kf, loop_kf))

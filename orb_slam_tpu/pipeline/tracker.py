@@ -25,9 +25,14 @@ from ..geometry import se3, camera as cam_mod
 from ..frontend.extractor import FrameFeatures
 from ..mapping import mapstore
 from ..solvers import initializer, pose_opt, bundle_adjust as ba
+from ..ops import match as match_ops
+from ..place import vocabulary as voc_mod
+from ..place import database as db_mod
+from ..solvers import pnp
 from . import frame as frame_mod
 from . import track_kernels as tk
 from .local_mapper import LocalMapper
+from .loop_closer import LoopCloser
 
 
 class TrackState(enum.Enum):
@@ -52,6 +57,7 @@ class Tracker:
     cam: cam_mod.CameraParams
     slam_map: mapstore.SlamMap
     local_mapper: LocalMapper
+    loop_closer: Optional[LoopCloser] = None
 
     state: TrackState = TrackState.NOT_INITIALIZED
     frame_id: int = 0
@@ -86,7 +92,9 @@ class Tracker:
         cam = cam_mod.make_camera(cfg.camera)
         smap = mapstore.SlamMap.create(cfg.map, cfg.extractor.max_keypoints)
         lm = LocalMapper(cfg=cfg, cam=cam)
-        return Tracker(cfg=cfg, cam=cam, slam_map=smap, local_mapper=lm)
+        lc = LoopCloser(cfg=cfg, cam=cam)
+        return Tracker(cfg=cfg, cam=cam, slam_map=smap, local_mapper=lm,
+                       loop_closer=lc)
 
     # ------------------------------------------------------------------
     def process(self, feats: FrameFeatures, timestamp: float) -> dict:
@@ -99,9 +107,8 @@ class Tracker:
             self._initialize(fd, timestamp, metrics)
         elif self.state == TrackState.WORKING:
             self._track(fd, timestamp, metrics)
-        else:  # LOST: re-seed initialization (relocalisation lands in a later
-            # phase; the reference would try BoW reloc, src/Tracking.cc:867)
-            metrics["event"] = "lost"
+        else:  # LOST: BoW relocalisation (src/Tracking.cc:867-1036)
+            self._relocalize(fd, timestamp, metrics)
 
         self.frame_id += 1
         metrics["state_after"] = self.state.name
@@ -213,6 +220,19 @@ class Tracker:
 
         # point stats (normals, distance bands, descriptors already set)
         self.local_mapper.refresh_point_stats(smap)
+
+        # place recognition: train the vocabulary on the init frames'
+        # descriptors (the reference loads a pre-trained ORBvoc blob, absent
+        # from this snapshot — SURVEY.md §7 phase 8 risk) and register the
+        # two bootstrap keyframes
+        if self.loop_closer is not None:
+            pool = np.concatenate([
+                np.asarray(f0.feats.desc)[np.asarray(f0.feats.valid)],
+                np.asarray(f1.feats.desc)[np.asarray(f1.feats.valid)],
+            ])
+            self.loop_closer.ensure_vocabulary(pool)
+            self.loop_closer.add_keyframe(smap, kf0)
+            self.loop_closer.add_keyframe(smap, kf1)
 
         st = smap.state
         self.last_R = st.kf_R[kf1]
@@ -379,16 +399,115 @@ class Tracker:
             self._create_keyframe(fd, timestamp, pid_global, metrics)
 
     # ------------------------------------------------------------------
-    def _local_points(self) -> dict:
-        """Local map point slice, padded to a static capacity.
+    def _relocalize(self, fd, timestamp, metrics):
+        """BoW relocalisation (src/Tracking.cc:867-1036): candidate
+        keyframes from the database, descriptor matching against their
+        landmarks, batched PnP RANSAC, pose refinement, local-map
+        re-acquisition."""
+        metrics["event"] = "lost"
+        lc = self.loop_closer
+        if lc is None or lc.voc is None or self.slam_map.n_kf == 0:
+            return
+        st = self.slam_map.state
+        bow = voc_mod.transform(lc.voc, fd.feats.desc, fd.feats.valid)
+        P = self.cfg.map.max_points
+        covis = np.asarray(
+            mapstore.covisibility_matrix(st, P)).astype(np.float64)
+        cands = db_mod.detect_candidates(
+            lc.db, bow, np.zeros(self.cfg.map.max_keyframes, bool), covis,
+            min_score=None)
+        metrics["reloc_candidates"] = len(cands)
 
-        Round-1 policy: all live points up to local_ba_max_points (the
-        covisibility-windowed selection of UpdateReference, Tracking.cc:754,
-        lands with the keyframe-database phase)."""
+        for cand in cands[:5]:
+            cand = int(cand)
+            obs = np.asarray(st.kf_obs[cand])
+            if (obs >= 0).sum() < 15:
+                continue
+            # frame keypoints (rows) vs candidate's landmarks (cols)
+            dist = match_ops.hamming_matrix(fd.feats.desc, st.kf_desc[cand])
+            mask = match_ops.valid_mask(fd.feats.valid, jnp.asarray(obs >= 0))
+            mm = match_ops.match_nn(
+                match_ops.apply_masks(dist, mask),
+                max_dist=self.cfg.matcher.th_low, ratio=0.75)
+            mm = match_ops.resolve_duplicates(mm, obs.shape[0])
+            n_matches = int(jnp.sum(mm.valid))
+            metrics["reloc_matches"] = n_matches
+            if n_matches < 15:
+                continue
+
+            idx = np.asarray(jnp.clip(mm.idx, 0, None))
+            pid = obs[idx]
+            pvalid = np.asarray(mm.valid) & (pid >= 0)
+            X = st.mp_pos[jnp.asarray(np.clip(pid, 0, None))]
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            res = pnp.pnp_ransac(
+                sub, X, fd.xy_und, fd.inv_sigma2, jnp.asarray(pvalid),
+                jnp.asarray(self.cfg.camera.K),
+                min_inliers=self.cfg.solver.pnp_min_inliers)
+            if not bool(res.ok):
+                continue
+            r1 = pose_opt.optimize_pose(
+                res.R, res.t, X, fd.xy_und, fd.inv_sigma2,
+                jnp.asarray(pvalid), self.cam, self.cfg.solver)
+            if int(r1.n_inliers) < self.cfg.solver.pnp_min_inliers:
+                continue
+
+            # local-map re-acquisition at the recovered pose, seeded by the
+            # PnP inlier landmarks (the stale pre-loss associations would
+            # vote the wrong keyframe neighborhood)
+            inl_pnp = np.asarray(res.inliers)
+            mp = self._local_points(seed_pids=pid[inl_pnp & pvalid])
+            assoc2, visible = tk.match_local_map(
+                fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle,
+                fd.feats.valid,
+                mp["pos"], mp["desc"], mp["normal"], mp["min_d"], mp["max_d"],
+                mp["valid"],
+                r1.R, r1.t, self.cam,
+                radius=jnp.float32(12.0), max_dist=self.cfg.matcher.th_high,
+                n_levels=self.cfg.extractor.n_levels)
+            r2 = pose_opt.optimize_pose(
+                r1.R, r1.t, assoc2.pos, fd.xy_und, fd.inv_sigma2,
+                assoc2.valid, self.cam, self.cfg.solver)
+            n_inl = int(r2.n_inliers)
+            metrics["reloc_inliers"] = n_inl
+            if n_inl < self.cfg.tracker.min_localmap_inliers_reloc:
+                continue
+
+            # recovered
+            R_cur = se3.orthonormalize(r2.R)
+            t_cur = r2.t
+            self.last_R, self.last_t = R_cur, t_cur
+            self.last_frame = fd
+            pid_local = np.asarray(assoc2.point_idx)
+            inl = np.asarray(r2.inliers)
+            pid_global = np.where(
+                np.asarray(assoc2.valid) & inl, mp["ids"][pid_local], -1
+            ).astype(np.int32)
+            self.last_assoc_pid = pid_global
+            self.last_assoc_valid = jnp.asarray(pid_global >= 0)
+            self.last_assoc_pos = self.slam_map.state.mp_pos[
+                jnp.clip(jnp.asarray(pid_global), 0, None)]
+            self.vel_R, self.vel_t = None, None
+            self._prev_localmap_matches = n_inl
+            self.state = TrackState.WORKING
+            metrics["event"] = "relocalized"
+            metrics["reloc_kf"] = cand
+            self.trajectory.append(FrameRecord(
+                self.frame_id, timestamp, np.asarray(R_cur),
+                np.asarray(t_cur), True))
+            return
+
+    # ------------------------------------------------------------------
+    def _local_points(self, seed_pids: Optional[np.ndarray] = None) -> dict:
+        """Covisibility-limited local map (UpdateReference/
+        UpdateReferenceKeyFrames, src/Tracking.cc:754-865): keyframes are
+        voted by the last frame's tracked landmarks (or by seed_pids during
+        relocalisation), capped at max_local_keyframes; the local points are
+        their observations."""
         smap = self.slam_map
         cap = self.cfg.map.local_ba_max_points
         st = smap.state
-        ids = np.where(np.asarray(st.mp_valid))[0][:cap]
+        ids = self._select_local_point_ids(cap, seed_pids)
         pad = cap - len(ids)
         sel = jnp.asarray(np.concatenate([ids, np.zeros(pad, np.int64)]))
         return {
@@ -401,6 +520,34 @@ class Tracker:
             "valid": jnp.asarray(np.concatenate(
                 [np.ones(len(ids), bool), np.zeros(pad, bool)])),
         }
+
+    def _select_local_point_ids(self, cap: int,
+                                seed_pids: Optional[np.ndarray] = None
+                                ) -> np.ndarray:
+        st = self.slam_map.state
+        n_kf = self.slam_map.n_kf
+        tracked = seed_pids if seed_pids is not None else self.last_assoc_pid
+        if tracked is None or n_kf == 0:
+            return np.where(np.asarray(st.mp_valid))[0][:cap]
+        tracked = tracked[tracked >= 0]
+        if len(tracked) == 0:
+            return np.where(np.asarray(st.mp_valid))[0][:cap]
+        # vote keyframes by how many tracked landmarks they observe
+        P = self.cfg.map.max_points
+        seen = np.zeros(P + 1, bool)
+        seen[tracked] = True
+        obs = np.asarray(st.kf_obs[:n_kf])
+        hits = seen[np.clip(obs, 0, P)] & (obs >= 0)
+        votes = hits.sum(axis=1)
+        order = np.argsort(-votes)
+        local_kfs = [int(k) for k in order[: self.cfg.tracker.max_local_keyframes]
+                     if votes[k] > 0]
+        if not local_kfs:
+            return np.where(np.asarray(st.mp_valid))[0][:cap]
+        sel_obs = obs[local_kfs]
+        ids = np.unique(sel_obs[sel_obs >= 0])
+        ids = ids[np.asarray(st.mp_valid)[ids]]
+        return ids[:cap]
 
     def _bump_point_stats(self, ids, pid_local, matched, inlier, visible):
         st = self.slam_map.state
@@ -430,6 +577,21 @@ class Tracker:
         # keyframe-rate map building (synchronous for now)
         lm_metrics = self.local_mapper.process_keyframe(smap, kf)
         metrics.update(lm_metrics)
+
+        # culled keyframes leave the place-recognition database too
+        if self.loop_closer is not None and self.loop_closer.db is not None:
+            for ck in (self.local_mapper.last_culled_kfs or []):
+                self.loop_closer.db = self.loop_closer.db.remove(ck)
+                self.loop_closer.kf_bow.pop(ck, None)
+
+        # loop detection/correction at keyframe rate
+        if self.loop_closer is not None and self.loop_closer.voc is not None:
+            lc_metrics = self.loop_closer.process_keyframe(smap, kf)
+            metrics.update(lc_metrics)
+            if lc_metrics.get("loop_closed"):
+                # the whole map moved: refresh stats and re-anchor tracking
+                self.local_mapper.refresh_point_stats(smap)
+                self.vel_R, self.vel_t = None, None
 
         # keyframe poses may have moved in local BA: refresh cached pose
         st = smap.state

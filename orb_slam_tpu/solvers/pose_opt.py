@@ -136,4 +136,5 @@ def optimize_pose(
     return PoseOptResult(R=R, t=t, inliers=inl, n_inliers=jnp.sum(inl))
 
 
-optimize_pose_jit = jax.jit(optimize_pose, static_argnums=())
+optimize_pose = jax.jit(optimize_pose, static_argnames=("cfg",))
+optimize_pose_jit = optimize_pose

@@ -41,6 +41,47 @@ def circular_trajectory(n_frames, radius=0.02, advance=0.06, yaw_rate=0.2):
     return poses
 
 
+def driving_loop(n_frames, radius=3.0):
+    """Camera drives a full circle in the x-z plane facing the tangent —
+    returns to the start with the start keyframes long out of covisibility,
+    forcing a genuine loop closure."""
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / (n_frames - 8)  # slight overlap past 360 deg
+        C = np.array([radius * (1 - np.cos(th)), 0.0, radius * np.sin(th)],
+                     np.float32)
+        f = np.array([np.sin(th), 0.0, np.cos(th)], np.float32)
+        d = np.array([0.0, 1.0, 0.0], np.float32)
+        r = np.cross(d, f)
+        Rc2w = np.stack([r, d, f], axis=1).astype(np.float32)
+        R = Rc2w.T
+        t = -R @ C
+        poses.append((R, t.astype(np.float32)))
+    return poses
+
+
+def box_world(rng, n_points=4000, lo=(-7.0, -2.5, -7.0), hi=(13.0, 2.5, 13.0)):
+    X = np.stack([rng.uniform(lo[k], hi[k], n_points) for k in range(3)],
+                 axis=1).astype(np.float32)
+    desc = rng.integers(0, 2**32, size=(n_points, 8), dtype=np.uint32)
+    return X, desc
+
+
+def annulus_world(rng, n_points=6000, center=(0.0, 0.0, 3.0),
+                  r_lo=2.5, r_hi=12.0, y_half=2.5):
+    """Feature-rich ring around the driving-loop circle: every tangential
+    viewpoint sees a comparable feature density."""
+    th = rng.uniform(0, 2 * np.pi, n_points)
+    r = np.sqrt(rng.uniform(r_lo**2, r_hi**2, n_points))
+    X = np.stack([
+        center[0] + r * np.sin(th),
+        rng.uniform(-y_half, y_half, n_points),
+        center[2] + r * np.cos(th),
+    ], axis=1).astype(np.float32)
+    desc = rng.integers(0, 2**32, size=(n_points, 8), dtype=np.uint32)
+    return X, desc
+
+
 def render_frame(rng, X, desc, R, t, K, n_slots=512, noise=0.3,
                  flip_bits=3, width=640, height=480, drop_frac=0.05):
     xc = X @ R.T + t
