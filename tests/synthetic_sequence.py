@@ -67,10 +67,11 @@ def box_world(rng, n_points=4000, lo=(-7.0, -2.5, -7.0), hi=(13.0, 2.5, 13.0)):
     return X, desc
 
 
-def annulus_world(rng, n_points=6000, center=(0.0, 0.0, 3.0),
-                  r_lo=2.5, r_hi=12.0, y_half=2.5):
-    """Feature-rich ring around the driving-loop circle: every tangential
-    viewpoint sees a comparable feature density."""
+def annulus_world(rng, n_points=6000, center=(3.0, 0.0, 0.0),
+                  r_lo=2.0, r_hi=9.0, y_half=2.5):
+    """Feature-rich ring around the driving-loop circle (whose center is
+    (radius, 0, 0) — see driving_loop): every tangential viewpoint sees a
+    comparable feature density."""
     th = rng.uniform(0, 2 * np.pi, n_points)
     r = np.sqrt(rng.uniform(r_lo**2, r_hi**2, n_points))
     X = np.stack([
@@ -83,7 +84,12 @@ def annulus_world(rng, n_points=6000, center=(0.0, 0.0, 3.0),
 
 
 def render_frame(rng, X, desc, R, t, K, n_slots=512, noise=0.3,
-                 flip_bits=3, width=640, height=480, drop_frac=0.05):
+                 flip_bits=3, width=640, height=480, drop_frac=0.05,
+                 priority=None):
+    """priority: optional [n_points] salience ranking — when given, the same
+    strong landmarks are selected every frame (detector repeatability),
+    instead of a fresh random subsample (which churns the feature set and
+    starves matching)."""
     xc = X @ R.T + t
     z = xc[:, 2]
     uv = np.stack(
@@ -93,7 +99,10 @@ def render_frame(rng, X, desc, R, t, K, n_slots=512, noise=0.3,
           (uv[:, 1] >= 8) & (uv[:, 1] < height - 8)
     vis &= rng.uniform(size=len(X)) > drop_frac  # random dropouts
     idx = np.where(vis)[0]
-    rng.shuffle(idx)
+    if priority is not None:
+        idx = idx[np.argsort(priority[idx])]
+    else:
+        rng.shuffle(idx)
     idx = idx[:n_slots]
     n = len(idx)
 

@@ -50,13 +50,14 @@ def test_loop_closure_on_revisit():
     rng = np.random.default_rng(17)
     cfg = small_config()
     X, desc = annulus_world(rng, n_points=6000)
+    prio = rng.uniform(size=len(X))
     K = cfg.camera.K
     poses = driving_loop(110)
 
     tracker = Tracker.create(cfg)
     loop_events = []
     for i, (R, t) in enumerate(poses):
-        feats, _ = render_frame(rng, X, desc, R, t, K)
+        feats, _ = render_frame(rng, X, desc, R, t, K, priority=prio)
         m = tracker.process(feats, timestamp=i / 30.0)
         if m.get("loop_closed"):
             loop_events.append(i)
