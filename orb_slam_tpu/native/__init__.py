@@ -1,0 +1,106 @@
+"""Native host graph ops with transparent build + NumPy fallback.
+
+`import orb_slam_tpu.native as native` then use native.pack_ba_edges /
+remap_observations / vote_keyframes.  On first import, the C++ extension is
+compiled into this directory if missing; if the toolchain is unavailable the
+NumPy fallbacks keep everything working (slower on large maps).
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sysconfig
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_graphops" + (sysconfig.get_config_var("EXT_SUFFIX") or ".so"))
+
+_graphops = None
+
+
+def _try_build() -> None:
+    global _graphops
+    try:
+        import importlib
+        _graphops = importlib.import_module("orb_slam_tpu.native._graphops")
+        return
+    except ImportError:
+        pass
+    try:
+        include = sysconfig.get_paths()["include"]
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            f"-I{include}", os.path.join(_HERE, "graphops.cpp"), "-o", _SO,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        import importlib
+        _graphops = importlib.import_module("orb_slam_tpu.native._graphops")
+    except Exception:
+        _graphops = None
+
+
+_try_build()
+
+HAS_NATIVE = _graphops is not None
+
+
+def pack_ba_edges(obs: np.ndarray, kp_valid: np.ndarray, lut: np.ndarray):
+    """obs [C,N] int32, kp_valid [C,N] bool, lut [P+1] int32 (global point id
+    -> local index, -1 absent) -> (cam_idx, pt_idx, slot_idx, valid)."""
+    obs = np.ascontiguousarray(obs, np.int32)
+    kpv = np.ascontiguousarray(kp_valid, np.uint8)
+    lut = np.ascontiguousarray(lut, np.int32)
+    if _graphops is not None:
+        cam_b, pt_b, slot_b, val_b = _graphops.pack_ba_edges(obs, kpv, lut)
+        n = obs.size
+        return (
+            np.frombuffer(bytes(cam_b), np.int32, n),
+            np.frombuffer(bytes(pt_b), np.int32, n),
+            np.frombuffer(bytes(slot_b), np.int32, n),
+            np.frombuffer(bytes(val_b), np.uint8, n).astype(bool),
+        )
+    C, N = obs.shape
+    cam_idx = np.repeat(np.arange(C, dtype=np.int32), N)
+    slot_idx = np.tile(np.arange(N, dtype=np.int32), C)
+    pid = obs.reshape(-1)
+    local = np.where((pid >= 0) & (pid < len(lut)), lut[np.clip(pid, 0, len(lut) - 1)], -1)
+    valid = (local >= 0) & kpv.reshape(-1).astype(bool)
+    return cam_idx, np.where(valid, local, 0).astype(np.int32), slot_idx, valid
+
+
+def remap_observations(obs: np.ndarray, lut: np.ndarray) -> int:
+    """In-place landmark-merge remap of obs [K,N] via lut [P+1]; removes
+    duplicate landmark ids within each keyframe row.  Returns #changes."""
+    assert obs.dtype == np.int32 and obs.flags.c_contiguous and obs.flags.writeable
+    lut = np.ascontiguousarray(lut, np.int32)
+    if _graphops is not None:
+        return int(_graphops.remap_observations(obs, lut))
+    changed = 0
+    P1 = len(lut)
+    for k in range(obs.shape[0]):
+        row = obs[k]
+        pid = row.copy()
+        m = (pid >= 0) & (pid < P1)
+        row[m] = lut[pid[m]]
+        changed += int((row != pid).sum())
+        seen = {}
+        for n in np.where(row >= 0)[0]:
+            v = int(row[n])
+            if v in seen:
+                row[n] = -1
+                changed += 1
+            else:
+                seen[v] = n
+    return changed
+
+
+def vote_keyframes(obs: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    """obs [K,N] int32, seed [P+1] bool -> votes [K] int32."""
+    obs = np.ascontiguousarray(obs, np.int32)
+    seed_u8 = np.ascontiguousarray(seed, np.uint8)
+    if _graphops is not None:
+        out = _graphops.vote_keyframes(obs, seed_u8)
+        return np.frombuffer(bytes(out), np.int32, obs.shape[0])
+    hits = seed.astype(bool)[np.clip(obs, 0, len(seed) - 1)] & (obs >= 0)
+    return hits.sum(axis=1).astype(np.int32)

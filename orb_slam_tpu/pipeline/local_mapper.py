@@ -23,6 +23,7 @@ from ..config import SystemConfig
 from ..geometry import camera as cam_mod
 from ..mapping import mapstore
 from ..solvers import bundle_adjust as ba
+from .. import native
 from . import mapping_kernels as mk
 
 
@@ -199,23 +200,13 @@ class LocalMapper:
             if replace_map:
                 drops = np.fromiter(replace_map.keys(), np.int64)
                 keeps = np.fromiter((replace_map[d] for d in drops), np.int64)
-                lut = np.arange(P + 1, dtype=np.int64)
-                lut[drops] = keeps
-                obs_np = np.asarray(kf_obs_all)
-                remapped = np.where(obs_np >= 0, lut[np.clip(obs_np, 0, P)], obs_np)
-                # a keyframe must not observe the same landmark twice: keep
-                # the first slot, clear later duplicates introduced by remap
-                for krow in np.unique(np.where((remapped != obs_np))[0]):
-                    row = remapped[krow]
-                    seen = {}
-                    for s_i in np.where(row >= 0)[0]:
-                        v = row[s_i]
-                        if v in seen:
-                            row[s_i] = -1
-                        else:
-                            seen[v] = s_i
-                    remapped[krow] = row
-                kf_obs_all = jnp.asarray(remapped)
+                lut = np.arange(P + 1, dtype=np.int32)
+                lut[drops] = keeps.astype(np.int32)
+                # native merge-remap with per-keyframe dedup (explicit copy:
+                # jax buffers are read-only)
+                obs_np = np.array(np.asarray(kf_obs_all), np.int32, copy=True)
+                native.remap_observations(obs_np, lut)
+                kf_obs_all = jnp.asarray(obs_np)
                 mp_valid = mp_valid.at[jnp.asarray(drops)].set(False)
             smap.state = smap.state._replace(kf_obs=kf_obs_all, mp_valid=mp_valid)
             return fused
@@ -271,24 +262,19 @@ class LocalMapper:
         point_ids = np.asarray(point_ids)[:P_cap]
         n_pt = len(point_ids)
 
-        # local index lookup over global point ids
+        # local index lookup over global point ids; edge packing runs in the
+        # native extension (the per-keyframe host hot path)
         lut = np.full(mc.max_points + 1, -1, np.int32)
         lut[point_ids] = np.arange(n_pt, dtype=np.int32)
 
         obs = np.asarray(st.kf_obs)[cams]          # [n_cam, N]
         kpv = np.asarray(st.kf_kp_valid)[cams]
-        pt_local = lut[np.clip(obs, 0, mc.max_points)]
-        evalid = (obs >= 0) & kpv & (pt_local >= 0)
-
-        cam_idx = np.repeat(np.arange(n_cam, dtype=np.int32), N)
-        pt_idx = pt_local.reshape(-1)
-        slot_idx = np.tile(np.arange(N, dtype=np.int32), n_cam)
-        ev = evalid.reshape(-1)
+        cam_idx, pt_idx, slot_idx, ev = native.pack_ba_edges(obs, kpv, lut)
 
         O_cap = K_cap * N
         pad = O_cap - len(cam_idx)
         cam_idx = np.concatenate([cam_idx, np.zeros(pad, np.int32)])
-        pt_idx = np.concatenate([np.where(ev, pt_idx, 0), np.zeros(pad, np.int32)])
+        pt_idx = np.concatenate([pt_idx, np.zeros(pad, np.int32)])
         slot_idx = np.concatenate([slot_idx, np.zeros(pad, np.int32)])
         ev = np.concatenate([ev, np.zeros(pad, bool)])
 

@@ -25,6 +25,7 @@ from ..geometry import se3, camera as cam_mod
 from ..frontend.extractor import FrameFeatures
 from ..mapping import mapstore
 from ..solvers import initializer, pose_opt, bundle_adjust as ba
+from .. import native
 from ..ops import match as match_ops
 from ..place import vocabulary as voc_mod
 from ..place import database as db_mod
@@ -533,12 +534,12 @@ class Tracker:
         if len(tracked) == 0:
             return np.where(np.asarray(st.mp_valid))[0][:cap]
         # vote keyframes by how many tracked landmarks they observe
+        # (native host op; runs every frame)
         P = self.cfg.map.max_points
         seen = np.zeros(P + 1, bool)
         seen[tracked] = True
         obs = np.asarray(st.kf_obs[:n_kf])
-        hits = seen[np.clip(obs, 0, P)] & (obs >= 0)
-        votes = hits.sum(axis=1)
+        votes = native.vote_keyframes(obs, seen)
         order = np.argsort(-votes)
         local_kfs = [int(k) for k in order[: self.cfg.tracker.max_local_keyframes]
                      if votes[k] > 0]

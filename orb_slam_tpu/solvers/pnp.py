@@ -65,7 +65,7 @@ def _dlt_p6p(X: jnp.ndarray, uv_n: jnp.ndarray):
     return R, t
 
 
-@partial(jax.jit, static_argnames=("n_samples", "min_set"))
+@partial(jax.jit, static_argnames=("n_samples", "min_set", "solver"))
 def pnp_ransac(
     key: jax.Array,
     X: jnp.ndarray,
@@ -77,8 +77,12 @@ def pnp_ransac(
     min_set: int = 6,
     chi2_th: float = 5.991,
     min_inliers: int = 10,
+    solver: str = "epnp",
 ) -> PnPResult:
-    """X: [N,3] world points, uv: [N,2] undistorted pixels (padded + mask)."""
+    """X: [N,3] world points, uv: [N,2] undistorted pixels (padded + mask).
+
+    solver="epnp" uses the reference's EPnP minimal solver (min_set>=4,
+    PnPsolver.cc:347-830); solver="p6p" uses the 6-point DLT."""
     n = X.shape[0]
     w = valid.astype(jnp.float32)
     p = w / jnp.maximum(jnp.sum(w), 1.0)
@@ -87,10 +91,13 @@ def pnp_ransac(
         lambda k: jax.random.choice(k, n, shape=(min_set,), replace=False, p=p)
     )(keys)  # [S, m]
 
-    Ki = jnp.linalg.inv(K)
-    uv_n = (jnp.concatenate([uv, jnp.ones((n, 1))], axis=1) @ Ki.T)[:, :2]
-
-    Rs, ts = jax.vmap(lambda s: _dlt_p6p(X[s], uv_n[s]))(samples)
+    if solver == "epnp":
+        from .epnp import epnp
+        Rs, ts = jax.vmap(lambda s: epnp(X[s], uv[s], K))(samples)
+    else:
+        Ki = jnp.linalg.inv(K)
+        uv_n = (jnp.concatenate([uv, jnp.ones((n, 1))], axis=1) @ Ki.T)[:, :2]
+        Rs, ts = jax.vmap(lambda s: _dlt_p6p(X[s], uv_n[s]))(samples)
 
     def count_inliers(R, t):
         xc = se3.transform(R, t, X)

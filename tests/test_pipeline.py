@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 
 from orb_slam_tpu.config import (
-    CameraConfig, ExtractorConfig, MapConfig, SystemConfig,
+    CameraConfig, ExtractorConfig, MapConfig, MatcherConfig, SystemConfig,
 )
 from orb_slam_tpu.dataio import trajectory as traj
 from orb_slam_tpu.pipeline.tracker import Tracker, TrackState
@@ -16,6 +16,9 @@ def small_config(n_slots=512):
                             k1=0, k2=0, p1=0, p2=0, k3=0,
                             width=640, height=480),
         extractor=ExtractorConfig(n_features=n_slots, max_keypoints=n_slots),
+        # synthetic sequences move ~2x faster than handheld: widen the init
+        # window so 3-5-frame pairs (enough parallax) still match
+        matcher=MatcherConfig(window_init=200),
         map=MapConfig(max_keyframes=64, max_points=4096,
                       local_ba_max_kfs=8, local_ba_max_fixed=8,
                       local_ba_max_points=2048),
