@@ -29,7 +29,7 @@ from ..mapping import mapstore
 from ..ops import match as m
 from ..place import vocabulary as voc_mod
 from ..place import database as db_mod
-from ..solvers import sim3_solver, pose_graph
+from ..solvers import sim3_solver, sim3_opt, pose_graph
 
 
 @dataclass
@@ -181,8 +181,21 @@ class LoopCloser:
                 st.kf_xy[kf], st.kf_xy[cand][jnp.asarray(idx2)],
                 me1, me2, jnp.asarray(pv), K,
                 min_inliers=self.cfg.loop.min_sim3_inliers)
-            if bool(res.ok):
-                return cand, (res.s, res.R, res.t)
+            if not bool(res.ok):
+                continue
+            # GN refinement with bidirectional reprojection edges
+            # (Optimizer::OptimizeSim3, LoopClosing.cc:328)
+            isig1 = 1.0 / jnp.maximum(me1 / 9.21, 1e-9)
+            isig2 = 1.0 / jnp.maximum(me2 / 9.21, 1e-9)
+            ref = sim3_opt.optimize_sim3(
+                res.s, res.R, res.t, X1, X2,
+                st.kf_xy[kf], st.kf_xy[cand][jnp.asarray(idx2)],
+                isig1, isig2, res.inliers, K,
+                chi2_th=self.cfg.solver.sim3_chi2,
+                iters1=self.cfg.solver.sim3_iters1,
+                iters2=self.cfg.solver.sim3_iters2)
+            if int(ref.n_inliers) >= self.cfg.loop.min_sim3_inliers:
+                return cand, (ref.s, ref.R, ref.t)
         return None
 
     # ------------------------------------------------------------------

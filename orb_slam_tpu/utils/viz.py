@@ -58,6 +58,35 @@ def export_map_png(path: str, smap, trajectory=None, max_points: int = 20000):
     plt.close(fig)
 
 
+def export_frame_png(path: str, image, feats, assoc_valid=None, status: str = ""):
+    """Debug frame image (FramePublisher equivalent, src/FramePublisher.cc:
+    59-188): keypoints drawn over the frame — green boxes for tracked
+    landmarks, blue dots for unmatched detections — plus a status line."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(image)
+    xy = np.asarray(feats.xy)
+    valid = np.asarray(feats.valid)
+    tracked = (np.asarray(assoc_valid) if assoc_valid is not None
+               else np.zeros(len(xy), bool))
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(img, cmap="gray", vmin=0, vmax=255)
+    free = valid & ~tracked
+    ax.plot(xy[free, 0], xy[free, 1], ".", color="#4488ff", ms=2)
+    trk = valid & tracked
+    ax.plot(xy[trk, 0], xy[trk, 1], "s", mfc="none", mec="#00cc44", ms=5,
+            mew=0.8)
+    n_trk = int(trk.sum())
+    ax.set_title(f"{status}  kp={int(valid.sum())} tracked={n_trk}",
+                 fontsize=9)
+    ax.set_axis_off()
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def export_map_ply(path: str, smap):
     st = smap.state
     valid = np.asarray(st.mp_valid)
