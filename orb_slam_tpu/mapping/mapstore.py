@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig, ExtractorConfig
+from ..ops import scatter as scatter_ops
 
 
 class MapState(NamedTuple):
@@ -138,14 +139,16 @@ class SlamMap:
         ids = np.full(m.shape[0], -1, np.int32)
         ids[m] = self.n_mp + np.arange(n_new, dtype=np.int32)
         dev_ids = jnp.asarray(np.where(m, ids, self.cfg.max_points))  # scatter-safe
+        m_dev = jnp.asarray(m)
         s = self.state
         P = self.cfg.max_points
 
         def scat(arr, vals):
-            # rows with id==P fall off the end (dropped by XLA scatter clip
-            # semantics we emulate via a pad row)
+            # add-only scatter-set (see ops/scatter.py): invalid rows target
+            # the pad row; unique ids guarantee exact set semantics
             padded = jnp.concatenate([arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
-            padded = padded.at[dev_ids].set(vals.astype(arr.dtype))
+            padded = scatter_ops.scatter_set_rows(
+                padded, dev_ids, vals, active=m_dev)
             return padded[:P]
 
         self.state = s._replace(
@@ -166,9 +169,11 @@ class SlamMap:
     def set_observations(self, kf_id: int, slot_idx, point_ids):
         """Associate keypoint slots of keyframe kf_id with map points."""
         s = self.state
-        self.state = s._replace(
-            kf_obs=s.kf_obs.at[kf_id, slot_idx].set(point_ids)
-        )
+        row = scatter_ops.scatter_set_rows(
+            s.kf_obs[kf_id][:, None], jnp.asarray(slot_idx),
+            jnp.asarray(point_ids)[:, None])[:, 0]
+        # kf_id is a host int -> static dynamic-update-slice, fast-path safe
+        self.state = s._replace(kf_obs=s.kf_obs.at[kf_id].set(row))
 
     def set_pose(self, kf_id: int, R, t):
         s = self.state
@@ -188,25 +193,29 @@ def covisibility_row(state: MapState, kf_id, n_points: int) -> jnp.ndarray:
     with one scatter + gather-free matmul-like reduction.
     """
     obs = state.kf_obs[kf_id]                      # [N]
-    seen = jnp.zeros((n_points + 1,), jnp.bool_).at[
+    # add-scatter formulation (non-add scatters demote the axon fast path)
+    cnt = jnp.zeros((n_points + 1,), jnp.int32).at[
         jnp.where(obs >= 0, obs, n_points)
-    ].set(True)
-    seen = seen.at[n_points].set(False)
+    ].add((obs >= 0).astype(jnp.int32))
+    seen = jnp.concatenate([cnt[:n_points] > 0, jnp.zeros((1,), bool)])
     # count per keyframe: how many of its obs are in `seen`
     hits = seen[jnp.where(state.kf_obs >= 0, state.kf_obs, n_points)]  # [K, N]
     counts = jnp.sum(hits & (state.kf_obs >= 0), axis=1).astype(jnp.int32)
     counts = counts * state.kf_valid
-    return counts.at[kf_id].set(0)
+    K = counts.shape[0]
+    return counts * (jnp.arange(K) != kf_id)
 
 
 def covisibility_matrix(state: MapState, n_points: int) -> jnp.ndarray:
     """Full [K, K] covisibility weights via incidence matmul (int32)."""
     K, N = state.kf_obs.shape
-    # incidence B [K, P+1] via scatter of ones
+    # incidence B [K, P+1] via ADD-scatter of ones (a keyframe observes a
+    # landmark at most once, so add == set here)
     obs = jnp.where(state.kf_obs >= 0, state.kf_obs, n_points)
     B = jnp.zeros((K, n_points + 1), jnp.float32)
-    B = B.at[jnp.arange(K)[:, None], obs].set(1.0)
-    B = B.at[:, n_points].set(0.0)
+    B = B.at[jnp.arange(K)[:, None], obs].add(
+        (state.kf_obs >= 0).astype(jnp.float32))
+    B = B[:, :n_points]
     W = (B @ B.T).astype(jnp.int32)
     W = W * state.kf_valid[:, None] * state.kf_valid[None, :]
     return W - jnp.diag(jnp.diag(W))

@@ -62,8 +62,12 @@ def match_nn(
     n = dist.shape[0]
     rows = jnp.arange(n)
     best = dist[rows, best_idx]
-    masked = dist.at[rows, best_idx].set(INF_DIST)
-    second = jnp.min(masked, axis=1)
+    # second-best via masked re-min (NOT a scatter-set: dynamic non-add
+    # scatters demote the axon relay to a permanent slow mode; see
+    # ops/scatter.py)
+    cols = jnp.arange(dist.shape[1])[None, :]
+    second = jnp.min(
+        jnp.where(cols == best_idx[:, None], INF_DIST, dist), axis=1)
 
     ok = best <= max_dist
     if ratio < 1.0:

@@ -145,13 +145,40 @@ class LocalMapper:
         neighbors = [int(k) for k in order[:max_neighbors] if weights[k] > 0]
         if not neighbors:
             return 0
-        scale2 = self.cfg.extractor.sigma2
         n_fused = 0
+        fuse_points_into = lambda tgt, cand: self._fuse_candidates_into(
+            smap, tgt, cand)
 
-        def fuse_points_into(target_kf: int, cand_ids: np.ndarray) -> int:
-            if len(cand_ids) == 0:
-                return 0
+        # neighbors' landmarks -> new keyframe
+        st = smap.state
+        obs_nb = np.asarray(st.kf_obs)[neighbors]
+        cand = np.unique(obs_nb[obs_nb >= 0])
+        own = set(np.asarray(st.kf_obs[kf])[np.asarray(st.kf_obs[kf]) >= 0].tolist())
+        cand = np.asarray([c for c in cand if c not in own], np.int64)
+        n_fused += fuse_points_into(kf, cand)
+
+        # new keyframe's landmarks -> each neighbor
+        for nb in neighbors:
             st = smap.state
+            own_kf = np.asarray(st.kf_obs[kf])
+            own_ids = np.unique(own_kf[own_kf >= 0])
+            nb_obs = np.asarray(st.kf_obs[nb])
+            nb_own = set(nb_obs[nb_obs >= 0].tolist())
+            cand = np.asarray([c for c in own_ids if c not in nb_own], np.int64)
+            n_fused += fuse_points_into(nb, cand)
+        return n_fused
+
+    def _fuse_candidates_into(self, smap: mapstore.SlamMap, target_kf: int,
+                              cand_ids: np.ndarray) -> int:
+        """Project candidate landmarks into target_kf, add missing
+        observations, merge duplicates (ORBmatcher::Fuse + MapPoint::Replace
+        host side)."""
+        if len(cand_ids) == 0:
+            return 0
+        st = smap.state
+        P = self.cfg.map.max_points
+        scale2 = self.cfg.extractor.sigma2
+        if True:
             cap = self.cfg.map.local_ba_max_points
             cand_ids = cand_ids[:cap]
             pad = cap - len(cand_ids)
@@ -210,25 +237,6 @@ class LocalMapper:
                 mp_valid = mp_valid.at[jnp.asarray(drops)].set(False)
             smap.state = smap.state._replace(kf_obs=kf_obs_all, mp_valid=mp_valid)
             return fused
-
-        # neighbors' landmarks -> new keyframe
-        st = smap.state
-        obs_nb = np.asarray(st.kf_obs)[neighbors]
-        cand = np.unique(obs_nb[obs_nb >= 0])
-        own = set(np.asarray(st.kf_obs[kf])[np.asarray(st.kf_obs[kf]) >= 0].tolist())
-        cand = np.asarray([c for c in cand if c not in own], np.int64)
-        n_fused += fuse_points_into(kf, cand)
-
-        # new keyframe's landmarks -> each neighbor
-        for nb in neighbors:
-            st = smap.state
-            own_kf = np.asarray(st.kf_obs[kf])
-            own_ids = np.unique(own_kf[own_kf >= 0])
-            nb_obs = np.asarray(st.kf_obs[nb])
-            nb_own = set(nb_obs[nb_obs >= 0].tolist())
-            cand = np.asarray([c for c in own_ids if c not in nb_own], np.int64)
-            n_fused += fuse_points_into(nb, cand)
-        return n_fused
 
     def _median_depth(self, smap, kf) -> float:
         """ComputeSceneMedianDepth (src/KeyFrame.cc:659-689)."""
@@ -324,17 +332,27 @@ class LocalMapper:
             kf_t = kf_t.at[k].set(res.t[c])
         mp_pos = st.mp_pos
         if n_pt:
-            mp_pos = mp_pos.at[jnp.asarray(point_ids.astype(np.int64))].set(
+            from ..ops import scatter as scatter_ops
+            mp_pos = scatter_ops.scatter_set_rows(
+                mp_pos, jnp.asarray(point_ids.astype(np.int64)),
                 res.points[:n_pt])
-        # erase outlier observations (Optimizer.cc:496-521)
+        # erase outlier observations (Optimizer.cc:496-521); add-only flat
+        # scatter (axon fast path, ops/scatter.py)
         inl = np.asarray(res.edge_inliers)
         bad = book["ev"] & ~inl
         kf_obs = st.kf_obs
         if bad.any():
+            from ..ops import scatter as scatter_ops
             cams = np.asarray(book["cams"])
             bad_cam = cams[book["cam_idx"][bad]]
             bad_slot = book["slot_idx"][bad]
-            kf_obs = kf_obs.at[jnp.asarray(bad_cam), jnp.asarray(bad_slot)].set(-1)
+            K_all, N = kf_obs.shape
+            flat = kf_obs.reshape(-1, 1)
+            fidx = jnp.asarray(bad_cam.astype(np.int64) * N
+                               + bad_slot.astype(np.int64))
+            vals = jnp.full((len(bad_cam), 1), -1, kf_obs.dtype)
+            kf_obs = scatter_ops.scatter_set_rows(flat, fidx, vals
+                                                  ).reshape(K_all, N)
         smap.state = st._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos,
                                  kf_obs=kf_obs)
 

@@ -262,3 +262,25 @@ class LoopCloser:
             mp_pos=new_pos,
         )
         smap.loop_edges.append((kf, loop_kf))
+        self._search_and_fuse(smap, kf, loop_kf)
+
+    def _search_and_fuse(self, smap: mapstore.SlamMap, kf: int, loop_kf: int):
+        """SearchAndFuse (LoopClosing.cc:505-527, :572-586): after the
+        correction, project the loop neighborhood's landmarks into the
+        current neighborhood's keyframes and merge duplicates — the revisit
+        mapped the region twice; fusing stitches the two sheets together."""
+        from .local_mapper import LocalMapper
+        lm = LocalMapper(cfg=self.cfg, cam=self.cam)
+        st = smap.state
+        P = self.cfg.map.max_points
+        # current-side keyframes: kf + covisible; loop-side landmark pool
+        weights = np.asarray(mapstore.covisibility_row(st, kf, P))
+        cur_side = [kf] + [int(k) for k in np.argsort(-weights)[:5]
+                           if weights[k] > 0]
+        w2 = np.asarray(mapstore.covisibility_row(st, loop_kf, P))
+        loop_side = [loop_kf] + [int(k) for k in np.argsort(-w2)[:5]
+                                 if w2[k] > 0]
+        obs_l = np.asarray(st.kf_obs)[loop_side]
+        cand = np.unique(obs_l[obs_l >= 0])
+        for tgt in cur_side:
+            lm._fuse_candidates_into(smap, tgt, cand)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..geometry import se3
 from ..geometry.camera import CameraParams, in_image
 from ..ops import match as m
+from ..ops import scatter as scatter_ops
 
 
 class Association(NamedTuple):
@@ -62,14 +63,9 @@ def match_last_frame(
     mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist, valid=keep)
     mm = m.resolve_duplicates(mm, cur_xy.shape[0])
 
-    # invert: per current slot -> source last-slot landmark
-    n_cur = cur_xy.shape[0]
-    inv = jnp.full((n_cur,), -1, jnp.int32)
-    rows = jnp.arange(last_pos.shape[0], dtype=jnp.int32)
-    inv = inv.at[jnp.where(mm.valid, mm.idx, n_cur - 1)].max(
-        jnp.where(mm.valid, rows, -1), indices_are_sorted=False
-    )
-    # (max-combine is safe: resolve_duplicates guarantees 1:1)
+    # invert: per current slot -> source last-slot landmark (1:1 after
+    # duplicate resolution; add-scatter formulation, see ops/scatter.py)
+    inv = scatter_ops.invert_matches(mm.idx, mm.valid, cur_xy.shape[0])
     avalid = inv >= 0
     src = jnp.clip(inv, 0, None)
     return Association(
@@ -127,12 +123,7 @@ def match_local_map(
     mm = m.match_nn(gated, max_dist=max_dist, ratio=ratio)
     mm = m.resolve_duplicates(mm, cur_xy.shape[0])
 
-    n_cur = cur_xy.shape[0]
-    inv = jnp.full((n_cur,), -1, jnp.int32)
-    rows = jnp.arange(mp_pos.shape[0], dtype=jnp.int32)
-    inv = inv.at[jnp.where(mm.valid, mm.idx, n_cur - 1)].max(
-        jnp.where(mm.valid, rows, -1)
-    )
+    inv = scatter_ops.invert_matches(mm.idx, mm.valid, cur_xy.shape[0])
     avalid = inv >= 0
     src = jnp.clip(inv, 0, None)
     assoc = Association(point_idx=src, pos=mp_pos[src], valid=avalid)

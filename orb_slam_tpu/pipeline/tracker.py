@@ -259,11 +259,23 @@ class Tracker:
             np.asarray(self.last_R), np.asarray(self.last_t), True))
 
     def _reset_map(self):
+        """Full system reset (Reset/RequestReset handshakes,
+        src/Tracking.cc:1052-1089): clears map, keyframe database, motion
+        model; tracking restarts from initialization."""
         self.slam_map = mapstore.SlamMap.create(
             self.cfg.map, self.cfg.extractor.max_keypoints)
         self.state = TrackState.NOT_INITIALIZED
         self.ref_kf = -1
         self.vel_R = None
+        self.last_kf_frame_id = -10**9
+        self.n_ref_tracked = 0
+        self._prev_localmap_matches = 0
+        if self.loop_closer is not None:
+            self.loop_closer.kf_bow = {}
+            self.loop_closer.consistent_groups = []
+            if self.loop_closer.voc is not None:
+                self.loop_closer.db = db_mod.BowDatabase.create(
+                    self.cfg.map.max_keyframes, self.loop_closer.voc.n_words)
 
     # ------------------------------------------------------------------
     def _track(self, fd, timestamp, metrics):
@@ -343,11 +355,16 @@ class Tracker:
         metrics["inliers"] = n_inl
 
         if n_inl < tcfg.min_localmap_inliers:
-            self.state = TrackState.LOST
-            metrics["event"] = "tracking_lost"
             self.trajectory.append(FrameRecord(
                 self.frame_id, timestamp,
                 np.asarray(R_cur), np.asarray(t_cur), False))
+            if self.slam_map.n_kf <= tcfg.reset_if_lost_before_kfs:
+                # early failure -> full system reset (src/Tracking.cc:278-285)
+                self._reset_map()
+                metrics["event"] = "system_reset"
+            else:
+                self.state = TrackState.LOST
+                metrics["event"] = "tracking_lost"
             return
 
         # SO(3) projection: without this, motion-model composition compounds

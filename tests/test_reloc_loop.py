@@ -22,6 +22,37 @@ def blank_frame(n_slots=512):
 
 
 def test_relocalisation_after_blackout():
+    """Blackout happens late enough that the map exceeds the early-reset
+    threshold (<=5 KFs -> full reset, src/Tracking.cc:278-285), so the LOST
+    state must recover through BoW relocalisation."""
+    import dataclasses
+    rng = np.random.default_rng(13)
+    cfg = small_config()
+    # this smooth sequence inserts few keyframes; lower the early-reset bar
+    # so the LOST path (not the reset path) is what gets exercised
+    cfg = cfg.replace(tracker=dataclasses.replace(
+        cfg.tracker, reset_if_lost_before_kfs=2))
+    X, desc = make_world(rng, n_points=900)
+    K = cfg.camera.K
+    poses = circular_trajectory(55)
+    tracker = Tracker.create(cfg)
+    events = []
+    for i, (R, t) in enumerate(poses):
+        if 32 <= i < 37:
+            feats = blank_frame()  # camera covered -> tracking must drop
+        else:
+            feats, _ = render_frame(rng, X, desc, R, t, K)
+        m = tracker.process(feats, timestamp=i / 30.0)
+        events.append(m.get("event"))
+    assert "map_initialized" in events
+    assert "tracking_lost" in events, f"events: {events}"
+    assert "relocalized" in events, f"events: {events}"
+    assert tracker.state == TrackState.WORKING
+
+
+def test_early_loss_triggers_full_reset():
+    """Losing tracking with <= reset_if_lost_before_kfs keyframes wipes the
+    map and restarts initialization (src/Tracking.cc:278-285)."""
     rng = np.random.default_rng(13)
     cfg = small_config()
     X, desc = make_world(rng, n_points=900)
@@ -30,15 +61,16 @@ def test_relocalisation_after_blackout():
     tracker = Tracker.create(cfg)
     events = []
     for i, (R, t) in enumerate(poses):
-        if 20 <= i < 25:
-            feats = blank_frame()  # camera covered -> tracking must drop
+        if 12 <= i < 17:  # early blackout: few keyframes exist yet
+            feats = blank_frame()
         else:
             feats, _ = render_frame(rng, X, desc, R, t, K)
         m = tracker.process(feats, timestamp=i / 30.0)
         events.append(m.get("event"))
-    assert "map_initialized" in events
-    assert "tracking_lost" in events
-    assert "relocalized" in events, f"events: {events}"
+    assert "system_reset" in events, f"events: {events}"
+    # must re-initialize and track again after the reset
+    post = events[events.index("system_reset"):]
+    assert "map_initialized" in post
     assert tracker.state == TrackState.WORKING
 
 
