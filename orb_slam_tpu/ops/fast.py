@@ -45,20 +45,19 @@ def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     # bright margin: p - c; dark margin: c - p.  For an arc to pass at
     # threshold t, min over the arc of the margin must exceed t.
     # Score per start index i = min_{j<9} margin[(i+j) % 16]; final score =
-    # max over i.  Evaluate via a doubled (wrapped) stack.
-    wrapped = jnp.concatenate([diffs, diffs[: ARC_LEN - 1]], axis=0)  # [24, H, W]
-
+    # max over i.  Sliding-window min via log-step doubling over the
+    # circular axis (4 passes instead of 8 — less memory traffic).
     def arc_scores(margin):
-        # margin: [24, H, W] -> per-start min over 9 consecutive -> [16, H, W]
-        mins = margin[:16]
-        cur = margin
-        for j in range(1, ARC_LEN):
-            cur = cur  # alias for clarity
-            mins = jnp.minimum(mins, cur[j : j + 16])
-        return jnp.max(mins, axis=0)  # best arc per pixel
+        # margin: [16, H, W]; circular window-9 min = win8 ∘ extra step
+        m = margin
+        m = jnp.minimum(m, jnp.roll(m, -1, axis=0))   # window 2
+        m = jnp.minimum(m, jnp.roll(m, -2, axis=0))   # window 4
+        m = jnp.minimum(m, jnp.roll(m, -4, axis=0))   # window 8
+        m = jnp.minimum(m, jnp.roll(margin, -8, axis=0))  # window 9
+        return jnp.max(m, axis=0)  # best arc per pixel
 
-    bright = arc_scores(wrapped)
-    dark = arc_scores(-wrapped)
+    bright = arc_scores(diffs)
+    dark = arc_scores(-diffs)
     score = jnp.maximum(bright, dark)
     score = jnp.where(score > threshold, score, 0.0)
 

@@ -130,6 +130,82 @@ def match_local_map(
     return assoc, visible
 
 
+@partial(jax.jit, static_argnames=("scale_factor", "n_levels", "solver_cfg",
+                                   "min_track_inliers"))
+def tracking_megastep(
+    cur_xy, cur_desc, cur_level, cur_angle, cur_valid, cur_inv_sigma2,
+    last_pos, last_desc, last_level, last_angle, last_pt_valid,
+    mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
+    R_pred, t_pred, cam: CameraParams, solver_cfg,
+    min_track_inliers: int = 10,
+    prev_localmap_matches=0,
+    scale_factor: float = 1.2, n_levels: int = 8,
+):
+    """The whole per-frame hot path as ONE program (SURVEY.md §7 hard part 3:
+    host<->device round trips): frame-to-frame projection matching with
+    wide-window fallback, motion-only pose LM, frustum-gated local-map
+    matching with fallback, final pose LM.
+
+    Returns (R, t, assoc: Association into the local-map table,
+    inliers [N] bool, stats dict of scalars).
+    """
+    from ..solvers import pose_opt as po
+
+    # --- frame-to-frame with traced wide-window fallback ------------------
+    def f2f(radius):
+        return match_last_frame(
+            cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
+            last_pos, last_desc, last_level, last_angle, last_pt_valid,
+            R_pred, t_pred, cam, radius=radius,
+            scale_factor=scale_factor)
+
+    a_narrow = f2f(jnp.float32(15.0))
+    n_narrow = jnp.sum(a_narrow.valid)
+    # fallback executes only when taken (lax.cond, not where-blend)
+    assoc1 = jax.lax.cond(
+        n_narrow < 2 * min_track_inliers,
+        lambda _: f2f(jnp.float32(60.0)),
+        lambda _: a_narrow,
+        operand=None)
+    n_f2f = jnp.sum(assoc1.valid)
+
+    r1 = po.optimize_pose(R_pred, t_pred, assoc1.pos, cur_xy, cur_inv_sigma2,
+                          assoc1.valid, cam, solver_cfg)
+    ok1 = r1.n_inliers >= min_track_inliers
+    R_cur = jnp.where(ok1, r1.R, R_pred)
+    t_cur = jnp.where(ok1, r1.t, t_pred)
+
+    # --- local map with traced fallback -----------------------------------
+    def lmm(radius):
+        return match_local_map(
+            cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
+            mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
+            R_cur, t_cur, cam, radius=radius,
+            scale_factor=scale_factor, n_levels=n_levels)
+
+    a2n, vis_n = lmm(jnp.float32(6.0))
+    n2n = jnp.sum(a2n.valid)
+    need_wide = n2n < jnp.maximum(
+        jnp.int32(min_track_inliers * 6),
+        jnp.asarray(0.6 * prev_localmap_matches, jnp.float32).astype(jnp.int32))
+    assoc2, visible = jax.lax.cond(
+        need_wide,
+        lambda _: lmm(jnp.float32(18.0)),
+        lambda _: (a2n, vis_n),
+        operand=None)
+
+    r2 = po.optimize_pose(R_cur, t_cur, assoc2.pos, cur_xy, cur_inv_sigma2,
+                          assoc2.valid, cam, solver_cfg)
+    R_fin = se3.orthonormalize(r2.R)
+    stats = {
+        "f2f_matches": n_f2f,
+        "localmap_matches": jnp.sum(assoc2.valid),
+        "n_visible": jnp.sum(visible),
+        "n_inliers": r2.n_inliers,
+    }
+    return R_fin, r2.t, assoc2, r2.inliers, visible, stats
+
+
 @jax.jit
 def init_window_match(
     xy1, desc1, level1, angle1, valid1,

@@ -287,72 +287,32 @@ class Tracker:
         else:
             R_pred, t_pred = self.last_R, self.last_t
 
-        # --- frame-to-frame projection match (TrackWithMotionModel) -------
+        # --- the whole hot path in ONE device program ---------------------
+        # (TrackWithMotionModel + fallbacks + TrackLocalMap + pose LM;
+        # SURVEY.md §7 hard part 3: per-frame dispatch count)
         lf = self.last_frame
-        assoc = tk.match_last_frame(
-            fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle, fd.feats.valid,
-            self.last_assoc_pos, lf.feats.desc, lf.feats.level, lf.feats.angle,
-            self.last_assoc_valid,
-            R_pred, t_pred, self.cam,
-            radius=jnp.float32(15.0), max_dist=self.cfg.matcher.th_high,
-        )
-        n_f2f = int(jnp.sum(assoc.valid))
-        if n_f2f < self.cfg.tracker.min_track_inliers * 2:
-            # wide-window fallback (TrackPreviousFrame's escalating
-            # WindowSearch, src/Tracking.cc:498-570)
-            assoc = tk.match_last_frame(
-                fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle,
-                fd.feats.valid,
-                self.last_assoc_pos, lf.feats.desc, lf.feats.level,
-                lf.feats.angle, self.last_assoc_valid,
-                R_pred, t_pred, self.cam,
-                radius=jnp.float32(60.0), max_dist=self.cfg.matcher.th_high,
-            )
-            n_f2f = int(jnp.sum(assoc.valid))
-        metrics["f2f_matches"] = n_f2f
-
-        R_cur, t_cur = R_pred, t_pred
-        if n_f2f >= tcfg.min_track_inliers:
-            r1 = pose_opt.optimize_pose(
-                R_pred, t_pred, assoc.pos, fd.xy_und, fd.inv_sigma2,
-                assoc.valid, self.cam, self.cfg.solver)
-            if int(r1.n_inliers) >= tcfg.min_track_inliers:
-                R_cur, t_cur = r1.R, r1.t
-
-        # --- local map tracking (TrackLocalMap) ---------------------------
         mp = self._local_points()
-        assoc2, visible_mask = tk.match_local_map(
-            fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle, fd.feats.valid,
-            mp["pos"], mp["desc"], mp["normal"], mp["min_d"], mp["max_d"], mp["valid"],
-            R_cur, t_cur, self.cam,
-            radius=jnp.float32(6.0), max_dist=self.cfg.matcher.th_high,
+        R_fin, t_fin, assoc2, inliers_mask, visible_mask, stats = tk.tracking_megastep(
+            fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle,
+            fd.feats.valid, fd.inv_sigma2,
+            self.last_assoc_pos, lf.feats.desc, lf.feats.level,
+            lf.feats.angle, self.last_assoc_valid,
+            mp["pos"], mp["desc"], mp["normal"], mp["min_d"], mp["max_d"],
+            mp["valid"],
+            R_pred, t_pred, self.cam, self.cfg.solver,
+            min_track_inliers=tcfg.min_track_inliers,
+            prev_localmap_matches=self._prev_localmap_matches,
+            scale_factor=self.cfg.extractor.scale_factor,
             n_levels=self.cfg.extractor.n_levels,
         )
-        n_lm = int(jnp.sum(assoc2.valid))
-        if n_lm < max(self.cfg.tracker.min_localmap_inliers * 2,
-                      int(0.6 * self._prev_localmap_matches)):
-            # matching yield collapsed -> widen the search (the reference
-            # doubles th after relocalisation, src/Tracking.cc:713-716; here
-            # it also covers motion-model overshoot)
-            assoc2, visible_mask = tk.match_local_map(
-                fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle,
-                fd.feats.valid,
-                mp["pos"], mp["desc"], mp["normal"], mp["min_d"], mp["max_d"],
-                mp["valid"],
-                R_cur, t_cur, self.cam,
-                radius=jnp.float32(18.0), max_dist=self.cfg.matcher.th_high,
-                n_levels=self.cfg.extractor.n_levels,
-            )
-            n_lm = int(jnp.sum(assoc2.valid))
+        metrics["f2f_matches"] = int(stats["f2f_matches"])
+        n_lm = int(stats["localmap_matches"])
         self._prev_localmap_matches = n_lm
         metrics["localmap_matches"] = n_lm
-        metrics["n_visible"] = int(jnp.sum(visible_mask))
-
-        r2 = pose_opt.optimize_pose(
-            R_cur, t_cur, assoc2.pos, fd.xy_und, fd.inv_sigma2,
-            assoc2.valid, self.cam, self.cfg.solver)
-        n_inl = int(r2.n_inliers)
+        metrics["n_visible"] = int(stats["n_visible"])
+        n_inl = int(stats["n_inliers"])
         metrics["inliers"] = n_inl
+        R_cur, t_cur = R_fin, t_fin
 
         if n_inl < tcfg.min_localmap_inliers:
             self.trajectory.append(FrameRecord(
@@ -367,14 +327,14 @@ class Tracker:
                 metrics["event"] = "tracking_lost"
             return
 
-        # SO(3) projection: without this, motion-model composition compounds
-        # off-manifold f32 error geometrically (see se3.orthonormalize)
-        R_cur, t_cur = se3.orthonormalize(r2.R), r2.t
+        # (megastep already SO(3)-projects R_fin — required because the
+        # motion-model composition compounds off-manifold f32 error
+        # geometrically, see se3.orthonormalize)
 
         # update visibility stats for culling (MapPoint found/visible,
         # src/MapPoint.cc:167-183: visible = in frustum, found = tracked)
         pid_local = np.asarray(assoc2.point_idx)
-        inl = np.asarray(r2.inliers)
+        inl = np.asarray(inliers_mask)
         self._bump_point_stats(
             mp["ids"], pid_local, np.asarray(assoc2.valid), inl,
             np.asarray(visible_mask))
