@@ -29,44 +29,60 @@ from ..ops import detect, fast, patches, brief
 from .extractor import FrameFeatures, level_shapes, level_quotas
 
 
-def _build_stack(image, shapes):
-    """[L, H0, W0] stack: each level resized then zero-padded."""
-    H0, W0 = shapes[0]
-    levels = [image.astype(jnp.float32)]
-    for (lh, lw) in shapes[1:]:
-        lvl = jax.image.resize(image, (lh, lw), method="linear")
+def _pad_shape(h, w, tile_rows=48):
+    return (-(-h // tile_rows) * tile_rows, -(-w // 128) * 128)
+
+
+def _build_stack(image, shapes, tile_rows=48):
+    """[L, Hp, Wp] stack: each level resized then zero-padded (padded dims
+    rounded up for the Pallas kernel's tiling)."""
+    H0, W0 = _pad_shape(*shapes[0], tile_rows)
+    levels = []
+    for li, (lh, lw) in enumerate(shapes):
+        lvl = image.astype(jnp.float32) if li == 0 else \
+            jax.image.resize(image, (lh, lw), method="linear")
         levels.append(jnp.pad(lvl, ((0, H0 - lh), (0, W0 - lw))))
     return jnp.stack(levels)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
-                    n_features: int, max_keypoints: int) -> FrameFeatures:
+                    n_features: int, max_keypoints: int,
+                    use_pallas: bool = False) -> FrameFeatures:
     h, w = image.shape
     shapes = level_shapes(cfg, h, w)
     quotas = level_quotas(cfg, n_features)
     L = cfg.n_levels
-    H0, W0 = shapes[0]
+    H0, W0 = _pad_shape(*shapes[0])
     lh = jnp.asarray([s[0] for s in shapes])
     lw = jnp.asarray([s[1] for s in shapes])
 
     stack = _build_stack(image, shapes)                  # [L, H0, W0]
 
-    # FAST + NMS batched over levels
-    score = jax.vmap(lambda im: fast.fast_score(im, float(cfg.fast_threshold_min)))(stack)
-    if cfg.score_harris:
-        harris = jax.vmap(fast.harris_score)(stack)
-        hmin = jnp.min(harris, axis=(1, 2), keepdims=True)
-        score = jnp.where(score > 0, harris - hmin + 1e-3, 0.0)
-    score = jax.vmap(fast.nms3x3)(score)
+    if use_pallas and not cfg.score_harris:
+        # fused FAST + NMS + border mask + blur, one kernel for the whole
+        # pyramid (ops/fast_pallas.py)
+        from ..ops.fast_pallas import fast_nms_blur_stack
+        dims = jnp.stack([lh, lw], axis=1).astype(jnp.int32)
+        score, blurred_stack = fast_nms_blur_stack(
+            stack, dims, float(cfg.fast_threshold_min), cfg.edge_threshold)
+    else:
+        score = jax.vmap(lambda im: fast.fast_score(
+            im, float(cfg.fast_threshold_min)))(stack)
+        if cfg.score_harris:
+            harris = jax.vmap(fast.harris_score)(stack)
+            hmin = jnp.min(harris, axis=(1, 2), keepdims=True)
+            score = jnp.where(score > 0, harris - hmin + 1e-3, 0.0)
+        score = jax.vmap(fast.nms3x3)(score)
 
-    # mask per-level borders and padding
-    b = cfg.edge_threshold
-    row = jnp.arange(H0)[None, :, None]
-    col = jnp.arange(W0)[None, None, :]
-    interior = ((row >= b) & (row < lh[:, None, None] - b)
-                & (col >= b) & (col < lw[:, None, None] - b))
-    score = jnp.where(interior, score, 0.0)
+        # mask per-level borders and padding
+        b = cfg.edge_threshold
+        row = jnp.arange(H0)[None, :, None]
+        col = jnp.arange(W0)[None, None, :]
+        interior = ((row >= b) & (row < lh[:, None, None] - b)
+                    & (col >= b) & (col < lw[:, None, None] - b))
+        score = jnp.where(interior, score, 0.0)
+        blurred_stack = None
 
     # per-level selection with a uniform slot count, then per-level quota by
     # rank masking (select_keypoints returns scores sorted descending)
@@ -102,7 +118,8 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
     angle = jnp.arctan2(m01, m10)                        # [L*slot_cap]
 
     # blur the whole stack at once, then steered BRIEF via one gather
-    blurred = jax.vmap(patches.gaussian_blur7)(stack)
+    blurred = (blurred_stack if blurred_stack is not None
+               else jax.vmap(patches.gaussian_blur7)(stack))
     ca = jnp.cos(angle)[:, None]
     sa = jnp.sin(angle)[:, None]
     px = jnp.asarray(brief._POINTS[:, 0])[None, :]
@@ -142,5 +159,7 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
                          valid=vflat)
 
 
-def extract_batched_default(image, cfg: ExtractorConfig) -> FrameFeatures:
-    return extract_batched(image, cfg, cfg.n_features, cfg.max_keypoints)
+def extract_batched_default(image, cfg: ExtractorConfig,
+                            use_pallas: bool = False) -> FrameFeatures:
+    return extract_batched(image, cfg, cfg.n_features, cfg.max_keypoints,
+                           use_pallas)

