@@ -127,15 +127,66 @@ class SlamMap:
         self.n_kf += 1
         return k
 
+    def compact_points(self) -> int:
+        """Pack live landmarks to the front of the pool, remap observations,
+        free the culled rows (replaces the reference's delete/new churn;
+        allocation stays monotonic between compactions).  Returns #freed."""
+        from .. import native
+
+        st = self.state
+        valid = np.asarray(st.mp_valid)
+        live = np.where(valid[: self.n_mp])[0]
+        n_live = len(live)
+        freed = self.n_mp - n_live
+        if freed == 0:
+            return 0
+        P = self.cfg.max_points
+        lut = np.full(P + 1, -1, np.int32)
+        lut[live] = np.arange(n_live, dtype=np.int32)
+
+        obs_np = np.array(np.asarray(st.kf_obs), np.int32, copy=True)
+        native.remap_observations(obs_np, lut)
+
+        sel = jnp.asarray(live)
+
+        def pack(arr, fill=0):
+            packed = arr[sel]
+            pad = jnp.full((P - n_live,) + arr.shape[1:], fill, arr.dtype)
+            return jnp.concatenate([packed, pad])
+
+        self.state = st._replace(
+            kf_obs=jnp.asarray(obs_np),
+            mp_valid=jnp.concatenate([
+                jnp.ones(n_live, bool), jnp.zeros(P - n_live, bool)]),
+            mp_pos=pack(st.mp_pos),
+            mp_desc=pack(st.mp_desc),
+            mp_normal=pack(st.mp_normal),
+            mp_min_dist=pack(st.mp_min_dist),
+            mp_max_dist=pack(st.mp_max_dist, fill=jnp.inf),
+            mp_ref_kf=pack(st.mp_ref_kf, fill=-1),
+            mp_first_kf=pack(st.mp_first_kf, fill=-1),
+            mp_found=pack(st.mp_found, fill=1),
+            mp_visible=pack(st.mp_visible, fill=1),
+        )
+        self.n_mp = n_live
+        return freed
+
     def add_points(self, pos, desc, normal, min_dist, max_dist, ref_kf: int,
                    valid_mask) -> np.ndarray:
         """Allocate a block of map points (masked).  pos: [M,3] etc;
         valid_mask: [M] — invalid rows are skipped but still consume no ids.
         Returns [M] int32 assigned ids (-1 where invalid)."""
-        m = np.asarray(valid_mask)
+        m = np.asarray(valid_mask).copy()
         n_new = int(m.sum())
         if self.n_mp + n_new > self.cfg.max_points:
-            raise RuntimeError("map-point pool exhausted (compaction TODO)")
+            self.compact_points()
+        if self.n_mp + n_new > self.cfg.max_points:
+            # pool genuinely full: admit as many as fit (oldest-first bias
+            # mirrors the reference's implicit density bound via culling)
+            space = self.cfg.max_points - self.n_mp
+            keep = np.cumsum(m) <= space
+            m &= keep
+            n_new = int(m.sum())
         ids = np.full(m.shape[0], -1, np.int32)
         ids[m] = self.n_mp + np.arange(n_new, dtype=np.int32)
         dev_ids = jnp.asarray(np.where(m, ids, self.cfg.max_points))  # scatter-safe
