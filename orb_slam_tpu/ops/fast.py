@@ -74,17 +74,15 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     (ties broken toward the top-left, matching raster-order behavior)."""
     h, w = score.shape
     neg = -jnp.inf
-    best = score
     is_max = jnp.ones_like(score, dtype=bool)
-    idx = 0
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
             n = jnp.roll(score, shift=(-dy, -dx), axis=(0, 1))
             # pad rolled-in borders with -inf
-            row = jnp.arange(h)[:, None]
-            col = jnp.arange(w)[None, :]
             valid = (
                 (row + dy >= 0) & (row + dy < h) & (col + dx >= 0) & (col + dx < w)
             )
@@ -94,8 +92,6 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
                 is_max = is_max & (score > n)
             else:
                 is_max = is_max & (score >= n)
-            idx += 1
-    del best
     return jnp.where(is_max, score, 0.0)
 
 

@@ -178,65 +178,64 @@ class LocalMapper:
         st = smap.state
         P = self.cfg.map.max_points
         scale2 = self.cfg.extractor.sigma2
-        if True:
-            cap = self.cfg.map.local_ba_max_points
-            cand_ids = cand_ids[:cap]
-            pad = cap - len(cand_ids)
-            sel = jnp.asarray(np.concatenate([cand_ids, np.zeros(pad, np.int64)]))
-            cvalid = jnp.asarray(
-                np.concatenate([np.ones(len(cand_ids), bool), np.zeros(pad, bool)]))
-            lv = np.asarray(st.kf_level[target_kf])
-            s2 = jnp.asarray(scale2[np.clip(lv, 0, len(scale2) - 1)])
-            slot, ok = mk.fuse_into_keyframe(
-                st.kf_xy[target_kf], st.kf_desc[target_kf],
-                st.kf_level[target_kf], st.kf_kp_valid[target_kf],
-                st.kf_obs[target_kf],
-                st.kf_R[target_kf], st.kf_t[target_kf],
-                st.mp_pos[sel], st.mp_desc[sel],
-                st.mp_valid[sel] & cvalid, sel,
-                s2, self.cam,
-                radius=3.0, max_dist=self.cfg.matcher.th_low,
-            )
-            slot = np.asarray(slot)
-            ok = np.asarray(ok)
-            obs_t = np.array(st.kf_obs[target_kf])  # writable copy
-            obs_counts = np.asarray(mapstore.point_observation_counts(st))
-            kf_obs_all = st.kf_obs
-            mp_valid = st.mp_valid
-            fused = 0
-            replace_map = {}
-            for ci in np.where(ok)[0]:
-                pid = int(cand_ids[ci]) if ci < len(cand_ids) else -1
-                if pid < 0 or not bool(np.asarray(mp_valid)[pid]):
-                    continue
-                s_ = int(slot[ci])
-                cur = int(obs_t[s_])
-                if cur == pid:
-                    continue
-                if cur < 0:
-                    kf_obs_all = kf_obs_all.at[target_kf, s_].set(pid)
-                    obs_t[s_] = pid
-                    fused += 1
-                else:
-                    # duplicate landmarks: keep the better-observed one
-                    # (MapPoint::Replace semantics, src/MapPoint.cc:124-158)
-                    keep, drop = (cur, pid) if obs_counts[cur] >= obs_counts[pid] \
-                        else (pid, cur)
-                    replace_map[drop] = keep
-                    fused += 1
-            if replace_map:
-                drops = np.fromiter(replace_map.keys(), np.int64)
-                keeps = np.fromiter((replace_map[d] for d in drops), np.int64)
-                lut = np.arange(P + 1, dtype=np.int32)
-                lut[drops] = keeps.astype(np.int32)
-                # native merge-remap with per-keyframe dedup (explicit copy:
-                # jax buffers are read-only)
-                obs_np = np.array(np.asarray(kf_obs_all), np.int32, copy=True)
-                native.remap_observations(obs_np, lut)
-                kf_obs_all = jnp.asarray(obs_np)
-                mp_valid = mp_valid.at[jnp.asarray(drops)].set(False)
-            smap.state = smap.state._replace(kf_obs=kf_obs_all, mp_valid=mp_valid)
-            return fused
+        cap = self.cfg.map.local_ba_max_points
+        cand_ids = cand_ids[:cap]
+        pad = cap - len(cand_ids)
+        sel = jnp.asarray(np.concatenate([cand_ids, np.zeros(pad, np.int64)]))
+        cvalid = jnp.asarray(
+            np.concatenate([np.ones(len(cand_ids), bool), np.zeros(pad, bool)]))
+        lv = np.asarray(st.kf_level[target_kf])
+        s2 = jnp.asarray(scale2[np.clip(lv, 0, len(scale2) - 1)])
+        slot, ok = mk.fuse_into_keyframe(
+            st.kf_xy[target_kf], st.kf_desc[target_kf],
+            st.kf_level[target_kf], st.kf_kp_valid[target_kf],
+            st.kf_obs[target_kf],
+            st.kf_R[target_kf], st.kf_t[target_kf],
+            st.mp_pos[sel], st.mp_desc[sel],
+            st.mp_valid[sel] & cvalid, sel,
+            s2, self.cam,
+            radius=3.0, max_dist=self.cfg.matcher.th_low,
+        )
+        slot = np.asarray(slot)
+        ok = np.asarray(ok)
+        obs_t = np.array(st.kf_obs[target_kf])  # writable copy
+        obs_counts = np.asarray(mapstore.point_observation_counts(st))
+        kf_obs_all = st.kf_obs
+        mp_valid = st.mp_valid
+        fused = 0
+        replace_map = {}
+        for ci in np.where(ok)[0]:
+            pid = int(cand_ids[ci]) if ci < len(cand_ids) else -1
+            if pid < 0 or not bool(np.asarray(mp_valid)[pid]):
+                continue
+            s_ = int(slot[ci])
+            cur = int(obs_t[s_])
+            if cur == pid:
+                continue
+            if cur < 0:
+                kf_obs_all = kf_obs_all.at[target_kf, s_].set(pid)
+                obs_t[s_] = pid
+                fused += 1
+            else:
+                # duplicate landmarks: keep the better-observed one
+                # (MapPoint::Replace semantics, src/MapPoint.cc:124-158)
+                keep, drop = (cur, pid) if obs_counts[cur] >= obs_counts[pid] \
+                    else (pid, cur)
+                replace_map[drop] = keep
+                fused += 1
+        if replace_map:
+            drops = np.fromiter(replace_map.keys(), np.int64)
+            keeps = np.fromiter((replace_map[d] for d in drops), np.int64)
+            lut = np.arange(P + 1, dtype=np.int32)
+            lut[drops] = keeps.astype(np.int32)
+            # native merge-remap with per-keyframe dedup (explicit copy:
+            # jax buffers are read-only)
+            obs_np = np.array(np.asarray(kf_obs_all), np.int32, copy=True)
+            native.remap_observations(obs_np, lut)
+            kf_obs_all = jnp.asarray(obs_np)
+            mp_valid = mp_valid.at[jnp.asarray(drops)].set(False)
+        smap.state = smap.state._replace(kf_obs=kf_obs_all, mp_valid=mp_valid)
+        return fused
 
     def _median_depth(self, smap, kf) -> float:
         """ComputeSceneMedianDepth (src/KeyFrame.cc:659-689)."""
