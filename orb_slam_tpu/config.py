@@ -192,6 +192,12 @@ class LoopConfig:
     covisibility_group_top: int = 10
     covisibility_weight_strong: int = 100  # essential graph strong edges (Optimizer.cc:604)
     covisibility_weight_min: int = 15      # UpdateConnections threshold (KeyFrame.cc:378)
+    # vocabulary tree (the reference ships a pre-trained k=10, L=6 ORBvoc;
+    # when no file is given we train on the init frames with these params —
+    # dense MXU scoring favors <= ~10^4 words, see place/vocabulary.py)
+    vocab_path: str = ""                # optional ORBvoc.txt to load
+    vocab_branching: int = 8            # k when training in-situ
+    vocab_depth: int = 3                # L when training in-situ
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,9 +44,49 @@ class LocalMapper:
         self.refresh_point_stats(smap)
         metrics["fused"] = self.fuse_neighbors(smap, kf)
         self.refresh_point_stats(smap)
+        self.update_descriptors(smap, kf)
         self.local_ba(smap, kf)
         metrics["culled_kfs"] = self.cull_keyframes(smap, kf)
         return metrics
+
+    # ------------------------------------------------------------------
+    def update_descriptors(self, smap: mapstore.SlamMap, kf: int,
+                           max_obs: int = 8, cap: int = 2048):
+        """Refresh representative descriptors of the landmarks around kf:
+        min-median-Hamming medoid over each point's observations
+        (MapPoint::ComputeDistinctiveDescriptors)."""
+        st = smap.state
+        obs_kf = np.asarray(st.kf_obs[kf])
+        pids = np.unique(obs_kf[obs_kf >= 0])[:cap]
+        if len(pids) == 0:
+            return
+        # host gather of per-point observation descriptor sets
+        K, N = st.kf_obs.shape
+        all_obs = np.asarray(st.kf_obs)
+        flat = all_obs.reshape(-1)
+        order = np.argsort(flat, kind="stable")
+        sorted_pid = flat[order]
+        lo = np.searchsorted(sorted_pid, pids, side="left")
+        hi = np.searchsorted(sorted_pid, pids, side="right")
+
+        all_desc = np.asarray(st.kf_desc).reshape(K * N, 8)
+        Pl = len(pids)
+        sets = np.zeros((cap, max_obs, 8), np.uint32)
+        valid = np.zeros((cap, max_obs), bool)
+        for i in range(Pl):
+            idx = order[lo[i]:hi[i]][:max_obs]
+            sets[i, : len(idx)] = all_desc[idx]
+            valid[i, : len(idx)] = True
+
+        best, has = mk.medoid_descriptors(jnp.asarray(sets), jnp.asarray(valid))
+        from ..ops import scatter as scatter_ops
+        sel = jnp.asarray(np.concatenate(
+            [pids, np.zeros(cap - Pl, np.int64)]))
+        active = jnp.asarray(np.concatenate(
+            [np.ones(Pl, bool), np.zeros(cap - Pl, bool)])) & has
+        smap.state = st._replace(
+            mp_desc=scatter_ops.scatter_set_rows(
+                st.mp_desc, sel, best, active=active))
 
     # ------------------------------------------------------------------
     def refresh_point_stats(self, smap: mapstore.SlamMap):

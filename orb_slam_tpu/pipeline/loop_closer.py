@@ -46,7 +46,12 @@ class LoopCloser:
 
     def ensure_vocabulary(self, descriptors: np.ndarray):
         if self.voc is None:
-            self.voc = voc_mod.train(descriptors, k=8, depth=3)
+            if self.cfg.loop.vocab_path:
+                self.voc = voc_mod.load_orbvoc_text(self.cfg.loop.vocab_path)
+            else:
+                self.voc = voc_mod.train(
+                    descriptors, k=self.cfg.loop.vocab_branching,
+                    depth=self.cfg.loop.vocab_depth)
             self.db = db_mod.BowDatabase.create(
                 self.cfg.map.max_keyframes, self.voc.n_words)
 
@@ -194,9 +199,56 @@ class LoopCloser:
                 chi2_th=self.cfg.solver.sim3_chi2,
                 iters1=self.cfg.solver.sim3_iters1,
                 iters2=self.cfg.solver.sim3_iters2)
-            if int(ref.n_inliers) >= self.cfg.loop.min_sim3_inliers:
+            if int(ref.n_inliers) < self.cfg.loop.min_sim3_inliers:
+                continue
+            # guided projection matching through the refined Sim3
+            # (SearchBySim3 / SearchByProjection via Scw,
+            # LoopClosing.cc:324,379; ORBmatcher.cc:286,1267): the final
+            # accept requires enough TOTAL matches, not just RANSAC inliers
+            n_total = self._count_guided_matches(
+                smap, kf, cand, (ref.s, ref.R, ref.t))
+            if n_total >= self.cfg.loop.min_total_matches:
                 return cand, (ref.s, ref.R, ref.t)
         return None
+
+    def _count_guided_matches(self, smap, kf: int, cand: int, g12) -> int:
+        """Project the loop candidate's neighborhood landmarks through g12
+        into the current keyframe and count descriptor-consistent matches."""
+        st = smap.state
+        P = self.cfg.map.max_points
+        s, R, t = g12
+        w2 = np.asarray(mapstore.covisibility_row(st, cand, P))
+        group = [cand] + [int(k) for k in np.argsort(-w2)[:5] if w2[k] > 0]
+        obs_g = np.asarray(st.kf_obs)[group]
+        pid = np.unique(obs_g[obs_g >= 0])
+        if len(pid) == 0:
+            return 0
+        cap = self.cfg.map.local_ba_max_points
+        pid = pid[:cap]
+        pad = cap - len(pid)
+        sel = jnp.asarray(np.concatenate([pid, np.zeros(pad, np.int64)]))
+        pvalid = jnp.asarray(np.concatenate(
+            [np.ones(len(pid), bool), np.zeros(pad, bool)])) & st.mp_valid[sel]
+
+        # landmark -> current-KF camera frame through the corrected Sim3
+        Xw = st.mp_pos[sel]
+        Xc = sim3.transform(s, R, t, se3.transform(st.kf_R[cand],
+                                                   st.kf_t[cand], Xw))
+        z = Xc[:, 2]
+        Kc = self.cfg.camera.K
+        uv = jnp.stack([Xc[:, 0] / jnp.maximum(z, 1e-6) * Kc[0, 0] + Kc[0, 2],
+                        Xc[:, 1] / jnp.maximum(z, 1e-6) * Kc[1, 1] + Kc[1, 2]],
+                       axis=1)
+        ok = pvalid & (z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < Kc[0, 2] * 2) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < Kc[1, 2] * 2)
+
+        dist = m.hamming_matrix(st.mp_desc[sel], st.kf_desc[kf])
+        mask = m.window_mask(uv, st.kf_xy[kf], 12.0) \
+            & m.valid_mask(ok, st.kf_kp_valid[kf])
+        mm = m.match_nn(m.apply_masks(dist, mask),
+                        max_dist=self.cfg.matcher.th_low)
+        mm = m.resolve_duplicates(mm, st.kf_desc[kf].shape[0])
+        return int(jnp.sum(mm.valid))
 
     # ------------------------------------------------------------------
     def _correct(self, smap: mapstore.SlamMap, kf: int, loop_kf: int, g12):

@@ -159,6 +159,37 @@ def point_stats(
 
 
 @jax.jit
+def medoid_descriptors(desc_sets: jnp.ndarray, valid: jnp.ndarray):
+    """Representative landmark descriptors: for each point's observation
+    descriptor set, pick the one with least MEDIAN Hamming distance to its
+    siblings (MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc:
+    185-250), batched over points.
+
+    desc_sets: [P, M, 8] uint32 (padded observation descriptors);
+    valid: [P, M] bool.  Returns (best_desc [P, 8], has_any [P]).
+    """
+    P, M, _ = desc_sets.shape
+    x = jnp.bitwise_xor(desc_sets[:, :, None, :], desc_sets[:, None, :, :])
+    d = jnp.sum(jax.lax.population_count(x), axis=-1)      # [P, M, M]
+    pair_ok = valid[:, :, None] & valid[:, None, :]
+    big = jnp.int32(1 << 20)
+    d = jnp.where(pair_ok, d, big)
+    # median over valid siblings: sort ascending, index the middle of the
+    # valid prefix (invalid sort to the end)
+    d_sorted = jnp.sort(d, axis=-1)
+    n_valid = jnp.sum(valid, axis=1)                        # [P]
+    mid = jnp.clip((n_valid - 1) // 2, 0, M - 1)            # reference takes
+    # 0.5*(N-1) index of sorted distances (MapPoint.cc:238)
+    med = jnp.take_along_axis(
+        d_sorted, mid[:, None, None].repeat(M, 1), axis=-1)[..., 0]  # [P, M]
+    med = jnp.where(valid, med, big)
+    best = jnp.argmin(med, axis=1)                          # [P]
+    out = jnp.take_along_axis(
+        desc_sets, best[:, None, None].repeat(8, 2), axis=1)[:, 0, :]
+    return out, n_valid > 0
+
+
+@jax.jit
 def fuse_into_keyframe(
     kf_xy, kf_desc, kf_level, kf_kp_valid, kf_obs,
     R, t,
