@@ -239,8 +239,9 @@ class LoopCloser:
         uv = jnp.stack([Xc[:, 0] / jnp.maximum(z, 1e-6) * Kc[0, 0] + Kc[0, 2],
                         Xc[:, 1] / jnp.maximum(z, 1e-6) * Kc[1, 1] + Kc[1, 2]],
                        axis=1)
-        ok = pvalid & (z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < Kc[0, 2] * 2) \
-            & (uv[:, 1] >= 0) & (uv[:, 1] < Kc[1, 2] * 2)
+        ok = pvalid & (z > 0) \
+            & (uv[:, 0] >= self.cam.min_x) & (uv[:, 0] < self.cam.max_x) \
+            & (uv[:, 1] >= self.cam.min_y) & (uv[:, 1] < self.cam.max_y)
 
         dist = m.hamming_matrix(st.mp_desc[sel], st.kf_desc[kf])
         mask = m.window_mask(uv, st.kf_xy[kf], 12.0) \
