@@ -97,22 +97,27 @@ def check_rt(
     e2 = reproj_err(P2, Xs, xy2)
 
     has_parallax = cosp < 0.99998  # reference's low-parallax guard
-    good = (
+    # depth gates only apply when parallax is sufficient — "infinite" points
+    # can easily triangulate to negative depth (Initializer.cc:856-864)
+    depth_ok = ((z1 > 0) | ~has_parallax) & ((z2 > 0) | ~has_parallax)
+    counted = (
         valid
         & finite
-        & (z1 > 0)
-        & (z2 > 0)
-        & has_parallax
+        & depth_ok
         & (e1 < reproj_th * sigma2)
         & (e2 < reproj_th * sigma2)
     )
-    n_good = jnp.sum(good)
+    # nGood counts every reproj/depth-passing point (Initializer.cc:890);
+    # vbGood additionally requires real parallax (Initializer.cc:893-894)
+    n_good = jnp.sum(counted)
+    good = counted & has_parallax
 
-    # robust parallax: the 50th-smallest angle among good points (or the
-    # largest if fewer than 50), in degrees (Initializer.cc:916-925)
-    cos_masked = jnp.where(good, cosp, -1.0)  # bad -> angle 180deg, sorts last
-    sorted_cos = jnp.sort(cos_masked)[::-1]   # descending cos = ascending angle
-    idx = jnp.minimum(49, jnp.maximum(n_good - 1, 0))
+    # robust parallax (Initializer.cc:897-904): sort cos ascending over the
+    # counted points, take idx = min(50, n-1) — the ~51st-largest angle for
+    # large sets, the smallest angle for small sets
+    cos_masked = jnp.where(counted, cosp, 2.0)  # bad -> sorts last ascending
+    sorted_cos = jnp.sort(cos_masked)
+    idx = jnp.minimum(50, jnp.maximum(n_good - 1, 0))
     cos_at = sorted_cos[idx]
     parallax_deg = jnp.degrees(jnp.arccos(jnp.clip(cos_at, -1.0, 1.0)))
     parallax_deg = jnp.where(n_good > 0, parallax_deg, 0.0)

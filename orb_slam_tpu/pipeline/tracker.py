@@ -587,7 +587,10 @@ class Tracker:
         smap = self.slam_map
         rows = []
         st = smap.state
+        kf_valid = np.asarray(st.kf_valid)
         for k in range(smap.n_kf):
+            if not kf_valid[k]:
+                continue  # culled KFs keep stale poses (main.cc:169 isBad skip)
             R = np.asarray(st.kf_R[k])
             t = np.asarray(st.kf_t[k])
             Rwc = R.T

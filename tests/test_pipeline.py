@@ -82,5 +82,8 @@ def test_trajectory_roundtrip(tmp_path, tracked_run):
     p = str(tmp_path / "kf.txt")
     traj.save_tum(p, rows)
     loaded = traj.load_tum(p)
-    assert loaded.shape[0] == tracker.slam_map.n_kf
+    # culled keyframes are skipped on export (main.cc:169 isBad skip)
+    n_valid = int(np.asarray(
+        tracker.slam_map.state.kf_valid[: tracker.slam_map.n_kf]).sum())
+    assert loaded.shape[0] == n_valid
     assert loaded.shape[1] == 8
