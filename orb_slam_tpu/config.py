@@ -92,12 +92,21 @@ class MatcherConfig:
     th_high: int = 100              # TH_HIGH
     th_low: int = 50                # TH_LOW
     histo_length: int = 30          # rotation histogram bins
-    nn_ratio_tracking: float = 0.9  # Tracking.cc matcher ctor args
-    nn_ratio_init: float = 0.9      # SearchForInitialization
+    nn_ratio_tracking: float = 0.9  # tracking matcher ctor (Tracking.cc:574),
+    #                                 applied in the wide f2f fallback pass
+    nn_ratio_init: float = 0.9      # SearchForInitialization (Tracking.cc:355)
+    nn_ratio_localmap: float = 0.8  # SearchReferencePointsInFrustum matcher(0.8)
+    #                                 (Tracking.cc:741)
     check_orientation: bool = True
     window_init: int = 100          # init window search (Tracking.cc:362)
-    window_prev_frame: int = 200    # TrackPreviousFrame first window (Tracking.cc:504)
-    search_radius_th: float = 3.0   # SearchByProjection base radius th (ORBmatcher.cc:49)
+    # frame-to-frame projection search radii (scaled by the keypoint's level):
+    radius_f2f: float = 15.0        # SearchByProjection(cur, last, 15) (Tracking.cc:584)
+    radius_f2f_fallback: float = 50.0  # last-opportunity th=50 (Tracking.cc:548)
+    # local-map projection search: radius = RadiusByViewingCos * th * scale
+    radius_view_cos_tight: float = 2.5  # viewCos > 0.998 (ORBmatcher.cc:127-134)
+    radius_view_cos_wide: float = 4.0
+    localmap_th: float = 1.0        # SearchReferencePointsInFrustum th (Tracking.cc:737)
+    localmap_th_coarse: float = 5.0  # coarser search after recent reloc (Tracking.cc:739-740)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,6 +179,8 @@ class LocalMappingConfig:
     culling_obs_window_kfs: int = 2
     culling_min_obs: int = 2                # actually 3 obs required after 2 KFs (mono)
     triangulation_neighbor_kfs: int = 20    # CreateNewMapPoints (:227)
+    fuse_neighbor_kfs: int = 20             # SearchInNeighbors 1st neighbors (:391)
+    fuse_second_neighbor_kfs: int = 5       # ...each extended by 5 2nd neighbors (:402)
     min_baseline_depth_ratio: float = 0.01  # baseline/medianDepth gate (:262)
     epipolar_chi2: float = 3.84             # SearchForTriangulation gate (ORBmatcher.cc:150)
     reproj_chi2: float = 5.991              # triangulation reprojection gate (:340)

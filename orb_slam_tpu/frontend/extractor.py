@@ -87,6 +87,12 @@ def _extract_impl(image: jnp.ndarray, cfg: ExtractorConfig, n_features: int,
         interior = (row >= b) & (row < lh - b) & (col >= b) & (col < lw - b)
         score = jnp.where(interior, score, 0.0)
 
+        # two-threshold fallback: prefer threshold-20 corners per cell, use
+        # threshold-7 ones only in starving cells (ORBextractor.cc:607-614)
+        if cfg.fast_threshold > cfg.fast_threshold_min:
+            score = detect.two_threshold_gate(
+                score, float(cfg.fast_threshold), cfg.cells_y, cfg.cells_x)
+
         kp = detect.select_keypoints(
             score, quotas[l], cfg.cells_y, cfg.cells_x,
             per_cell=max(4, 4 * quotas[l] // (cfg.cells_x * cfg.cells_y)),

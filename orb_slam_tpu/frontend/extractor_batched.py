@@ -84,6 +84,12 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
         score = jnp.where(interior, score, 0.0)
         blurred_stack = None
 
+    # two-threshold fallback per cell (ORBextractor.cc:607-614), vmapped
+    # over levels
+    if cfg.fast_threshold > cfg.fast_threshold_min:
+        score = jax.vmap(lambda s: detect.two_threshold_gate(
+            s, float(cfg.fast_threshold), cfg.cells_y, cfg.cells_x))(score)
+
     # per-level selection with a uniform slot count, then per-level quota by
     # rank masking (select_keypoints returns scores sorted descending)
     slot_cap = max(quotas)

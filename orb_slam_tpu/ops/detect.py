@@ -4,9 +4,9 @@ Replaces the reference's per-cell quota distribution with starving-cell
 redistribution and retainBest (src/ORBextractor.cc:522-707).  The semantics
 preserved:
   * spatial spread — each grid cell contributes at most `per_cell` keypoints,
-  * threshold fallback — the FAST score *is* the max passing threshold, so
-    descending-score order prefers th-20 corners and falls back to th-7 ones
-    exactly like the reference's two-pass detection,
+  * threshold fallback — two_threshold_gate() reproduces the reference's
+    per-cell 20->7 fallback population on the low-threshold score map
+    (the FAST score *is* the max passing threshold),
   * retainBest — the final global top-k keeps the strongest `n_total`.
 
 Everything is static-shape: selection returns fixed-size index arrays with a
@@ -80,3 +80,28 @@ def select_keypoints(
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def select_keypoints_jit(score, n_total, cells_y, cells_x, per_cell):
     return select_keypoints(score, n_total, cells_y, cells_x, per_cell)
+
+
+def two_threshold_gate(
+    score: jnp.ndarray, hi_threshold: float, cells_y: int, cells_x: int
+) -> jnp.ndarray:
+    """Per-cell two-threshold FAST fallback (src/ORBextractor.cc:607-614):
+    the reference detects at the high threshold (20) per grid cell and only
+    re-detects at the low threshold (7) in cells that yielded nothing.
+
+    Given an NMS'd score map computed at the LOW threshold (the FAST score is
+    the maximum passing threshold), this zeroes every sub-`hi_threshold`
+    corner in cells that contain at least one high-threshold corner — which
+    reproduces the reference's per-cell corner population: NMS-at-low-then-
+    filter equals NMS-at-high for the high set, because a corner scoring
+    above `hi` can only be suppressed by a neighbor that also scores above.
+    """
+    h, w = score.shape
+    ch = -(-h // cells_y)
+    cw = -(-w // cells_x)
+    padded = jnp.pad(score, ((0, ch * cells_y - h), (0, cw * cells_x - w)))
+    cells = padded.reshape(cells_y, ch, cells_x, cw)
+    has_hi = jnp.max(cells, axis=(1, 3)) > hi_threshold   # [cells_y, cells_x]
+    has_hi_full = jnp.repeat(
+        jnp.repeat(has_hi, ch, axis=0), cw, axis=1)[:h, :w]
+    return jnp.where(has_hi_full & (score <= hi_threshold), 0.0, score)

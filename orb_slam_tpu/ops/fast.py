@@ -1,11 +1,10 @@
 """FAST-9 corner detection as batched elementwise ops (VPU-friendly).
 
 Replaces the per-cell cv::FAST calls of the reference extractor
-(src/ORBextractor.cc:607-614).  Instead of detecting per grid cell with a
-threshold fallback (20 then 7), we compute a dense *score map* at the low
-threshold once; the FAST score is the maximum threshold at which the segment
-test still passes, so "prefer threshold-20 corners, fall back to 7" is exactly
-descending-score selection (see orb_slam_tpu.ops.detect).
+(src/ORBextractor.cc:607-614).  We compute a dense *score map* at the low
+threshold (7) once; the FAST score is the maximum threshold at which the
+segment test still passes, so the per-cell 20->7 fallback becomes a cheap
+cell-wise gate on this map (orb_slam_tpu.ops.detect.two_threshold_gate).
 
 The segment test: a pixel is a corner if >= 9 contiguous pixels on the
 16-pixel Bresenham circle are all brighter than c + t or all darker than

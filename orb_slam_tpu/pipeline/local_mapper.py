@@ -103,7 +103,10 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def triangulate_new_points(self, smap: mapstore.SlamMap, kf: int,
-                               max_neighbors: int = 5) -> int:
+                               max_neighbors: int | None = None) -> int:
+        if max_neighbors is None:
+            # 20 covisible KFs searched (src/LocalMapping.cc:227)
+            max_neighbors = self.cfg.local_mapping.triangulation_neighbor_kfs
         st = smap.state
         P = self.cfg.map.max_points
         weights = np.asarray(
@@ -169,7 +172,7 @@ class LocalMapper:
         return n_added
 
     def fuse_neighbors(self, smap: mapstore.SlamMap, kf: int,
-                       max_neighbors: int = 5) -> int:
+                       max_neighbors: int | None = None) -> int:
         """SearchInNeighbors (src/LocalMapping.cc:388-465): project neighbor
         keyframes' landmarks into the new keyframe and vice versa; add the
         missing observations and merge duplicate landmarks.
@@ -180,9 +183,22 @@ class LocalMapper:
         """
         st = smap.state
         P = self.cfg.map.max_points
+        lcfg = self.cfg.local_mapping
+        if max_neighbors is None:
+            max_neighbors = lcfg.fuse_neighbor_kfs
         weights = np.asarray(mapstore.covisibility_row(st, kf, P))
         order = np.argsort(-weights)
         neighbors = [int(k) for k in order[:max_neighbors] if weights[k] > 0]
+        # extend with second neighbors (src/LocalMapping.cc:402-409)
+        seen = set(neighbors) | {kf}
+        for nb in list(neighbors):
+            w2 = np.asarray(mapstore.covisibility_row(smap.state, nb, P))
+            order2 = np.argsort(-w2)
+            for k2 in order2[: lcfg.fuse_second_neighbor_kfs]:
+                k2 = int(k2)
+                if w2[k2] > 0 and k2 not in seen:
+                    neighbors.append(k2)
+                    seen.add(k2)
         if not neighbors:
             return 0
         n_fused = 0

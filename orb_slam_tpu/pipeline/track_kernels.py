@@ -34,12 +34,13 @@ class Association(NamedTuple):
     valid: jnp.ndarray      # [N] bool
 
 
-@partial(jax.jit, static_argnames=("scale_factor",))
+@partial(jax.jit, static_argnames=("scale_factor", "ratio"))
 def match_last_frame(
     cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
     last_pos, last_desc, last_level, last_angle, last_pt_valid,
     R_pred, t_pred, cam: CameraParams,
     radius: float = 15.0, max_dist: int = 100, scale_factor: float = 1.2,
+    ratio: float = 1.0,
 ) -> Association:
     """Rows = last frame's landmark-bearing slots, cols = current keypoints."""
     xc = se3.transform(R_pred, t_pred, last_pos)
@@ -57,7 +58,7 @@ def match_last_frame(
         & m.valid_mask(proj_ok, cur_valid)
     )
     gated = m.apply_masks(dist, mask)
-    mm = m.match_nn(gated, max_dist=max_dist)
+    mm = m.match_nn(gated, max_dist=max_dist, ratio=ratio)
     mm = m.Matches(idx=mm.idx, dist=mm.dist, valid=mm.valid)
     keep = m.rotation_consistency(last_angle, cur_angle, mm)
     mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist, valid=keep)
@@ -75,16 +76,22 @@ def match_last_frame(
     )
 
 
-@partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+@partial(jax.jit, static_argnames=("scale_factor", "n_levels", "ratio",
+                                   "radius_tight", "radius_wide"))
 def match_local_map(
     cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
     mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
     R, t, cam: CameraParams,
-    radius: float = 10.0, max_dist: int = 100, ratio: float = 0.8,
+    th: float = 1.0, max_dist: int = 100, ratio: float = 0.8,
     view_cos_limit: float = 0.5, scale_factor: float = 1.2, n_levels: int = 8,
+    radius_tight: float = 2.5, radius_wide: float = 4.0,
 ):
     """Frustum-gated projection matching of local map points (rows) against
-    current keypoints (cols).  Returns (Association, n_visible)."""
+    current keypoints (cols).  Returns (Association, n_visible).
+
+    The search radius per point is RadiusByViewingCos (2.5 px head-on,
+    4.0 px oblique, ORBmatcher.cc:127-134) x th x scale of the predicted
+    level, matching SearchByProjection (ORBmatcher.cc:64-76)."""
     xc = se3.transform(R, t, mp_pos)
     z = xc[:, 2]
     uv = jnp.stack(
@@ -113,10 +120,12 @@ def match_local_map(
     )
 
     dist = m.hamming_matrix(mp_desc, cur_desc)
-    r = radius * scale_factor ** pred_level.astype(jnp.float32)
+    base_r = jnp.where(view_cos > 0.998, radius_tight, radius_wide)
+    r = base_r * th * scale_factor ** pred_level.astype(jnp.float32)
+    # level gate [pred-1, pred] (GetFeaturesInArea call, ORBmatcher.cc:75-76)
     mask = (
         m.window_mask(uv, cur_xy, r)
-        & m.level_mask(pred_level, cur_level, lo=1, hi=1)
+        & m.level_mask(pred_level, cur_level, lo=1, hi=0)
         & m.valid_mask(visible, cur_valid)
     )
     gated = m.apply_masks(dist, mask)
@@ -131,7 +140,7 @@ def match_local_map(
 
 
 @partial(jax.jit, static_argnames=("scale_factor", "n_levels", "solver_cfg",
-                                   "min_track_inliers"))
+                                   "min_track_inliers", "matcher_cfg"))
 def tracking_megastep(
     cur_xy, cur_desc, cur_level, cur_angle, cur_valid, cur_inv_sigma2,
     last_pos, last_desc, last_level, last_angle, last_pt_valid,
@@ -140,6 +149,7 @@ def tracking_megastep(
     min_track_inliers: int = 10,
     prev_localmap_matches=0,
     scale_factor: float = 1.2, n_levels: int = 8,
+    matcher_cfg=None,
 ):
     """The whole per-frame hot path as ONE program (SURVEY.md §7 hard part 3:
     host<->device round trips): frame-to-frame projection matching with
@@ -149,22 +159,29 @@ def tracking_megastep(
     Returns (R, t, assoc: Association into the local-map table,
     inliers [N] bool, stats dict of scalars).
     """
+    from ..config import MatcherConfig
     from ..solvers import pose_opt as po
 
+    mcfg = matcher_cfg if matcher_cfg is not None else MatcherConfig()
+
     # --- frame-to-frame with traced wide-window fallback ------------------
-    def f2f(radius):
+    # narrow = SearchByProjection(cur, last, 15) (Tracking.cc:584); wide =
+    # the last-opportunity th=50 pass (Tracking.cc:548), with the tracking
+    # matcher's 0.9 ratio test for safety at that window size
+    def f2f(radius, ratio):
         return match_last_frame(
             cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
             last_pos, last_desc, last_level, last_angle, last_pt_valid,
-            R_pred, t_pred, cam, radius=radius,
-            scale_factor=scale_factor)
+            R_pred, t_pred, cam, radius=radius, max_dist=mcfg.th_high,
+            scale_factor=scale_factor, ratio=ratio)
 
-    a_narrow = f2f(jnp.float32(15.0))
+    a_narrow = f2f(jnp.float32(mcfg.radius_f2f), 1.0)
     n_narrow = jnp.sum(a_narrow.valid)
     # fallback executes only when taken (lax.cond, not where-blend)
     assoc1 = jax.lax.cond(
         n_narrow < 2 * min_track_inliers,
-        lambda _: f2f(jnp.float32(60.0)),
+        lambda _: f2f(jnp.float32(mcfg.radius_f2f_fallback),
+                      mcfg.nn_ratio_tracking),
         lambda _: a_narrow,
         operand=None)
     n_f2f = jnp.sum(assoc1.valid)
@@ -176,21 +193,27 @@ def tracking_megastep(
     t_cur = jnp.where(ok1, r1.t, t_pred)
 
     # --- local map with traced fallback -----------------------------------
-    def lmm(radius):
+    # narrow = th 1 (Tracking.cc:737); wide = the coarse th used after
+    # relocalisation (Tracking.cc:739-740), triggered here when the narrow
+    # pass under-yields
+    def lmm(th):
         return match_local_map(
             cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
             mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
-            R_cur, t_cur, cam, radius=radius,
-            scale_factor=scale_factor, n_levels=n_levels)
+            R_cur, t_cur, cam, th=th,
+            max_dist=mcfg.th_high, ratio=mcfg.nn_ratio_localmap,
+            scale_factor=scale_factor, n_levels=n_levels,
+            radius_tight=mcfg.radius_view_cos_tight,
+            radius_wide=mcfg.radius_view_cos_wide)
 
-    a2n, vis_n = lmm(jnp.float32(6.0))
+    a2n, vis_n = lmm(jnp.float32(mcfg.localmap_th))
     n2n = jnp.sum(a2n.valid)
     need_wide = n2n < jnp.maximum(
         jnp.int32(min_track_inliers * 6),
         jnp.asarray(0.6 * prev_localmap_matches, jnp.float32).astype(jnp.int32))
     assoc2, visible = jax.lax.cond(
         need_wide,
-        lambda _: lmm(jnp.float32(18.0)),
+        lambda _: lmm(jnp.float32(mcfg.localmap_th_coarse)),
         lambda _: (a2n, vis_n),
         operand=None)
 
@@ -206,7 +229,7 @@ def tracking_megastep(
     return R_fin, r2.t, assoc2, r2.inliers, visible, stats
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("max_dist", "ratio"))
 def init_window_match(
     xy1, desc1, level1, angle1, valid1,
     xy2, desc2, level2, angle2, valid2,

@@ -139,6 +139,8 @@ class Tracker:
             f0.xy_und, f0.feats.desc, f0.feats.level, f0.feats.angle, f0.feats.valid,
             f1.xy_und, f1.feats.desc, f1.feats.level, f1.feats.angle, f1.feats.valid,
             radius=float(self.cfg.matcher.window_init),
+            max_dist=self.cfg.matcher.th_low,
+            ratio=self.cfg.matcher.nn_ratio_init,
         )
         n_matches = int(jnp.sum(mm.valid))
         metrics["init_matches"] = n_matches
@@ -304,6 +306,7 @@ class Tracker:
             prev_localmap_matches=self._prev_localmap_matches,
             scale_factor=self.cfg.extractor.scale_factor,
             n_levels=self.cfg.extractor.n_levels,
+            matcher_cfg=self.cfg.matcher,
         )
         metrics["f2f_matches"] = int(stats["f2f_matches"])
         n_lm = int(stats["localmap_matches"])
@@ -441,8 +444,12 @@ class Tracker:
                 mp["pos"], mp["desc"], mp["normal"], mp["min_d"], mp["max_d"],
                 mp["valid"],
                 r1.R, r1.t, self.cam,
-                radius=jnp.float32(12.0), max_dist=self.cfg.matcher.th_high,
-                n_levels=self.cfg.extractor.n_levels)
+                th=jnp.float32(self.cfg.matcher.localmap_th_coarse),
+                max_dist=self.cfg.matcher.th_high,
+                ratio=self.cfg.matcher.nn_ratio_localmap,
+                n_levels=self.cfg.extractor.n_levels,
+                radius_tight=self.cfg.matcher.radius_view_cos_tight,
+                radius_wide=self.cfg.matcher.radius_view_cos_wide)
             r2 = pose_opt.optimize_pose(
                 r1.R, r1.t, assoc2.pos, fd.xy_und, fd.inv_sigma2,
                 assoc2.valid, self.cam, self.cfg.solver)
