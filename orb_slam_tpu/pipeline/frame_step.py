@@ -1,0 +1,127 @@
+"""The ENTIRE tracked-frame hot path as ONE device program.
+
+Fuses what the reference spreads over the Frame constructor and the Tracking
+thread body (src/Frame.cc:55-127 extract+undistort, src/Tracking.cc:170-323
+TrackWithMotionModel/TrackLocalMap/pose optimization) into a single jitted
+XLA program:
+
+    image -> pyramid ORB extraction (level-batched, optional Pallas fused
+    FAST+NMS+blur) -> keypoint undistortion -> frame-to-frame projection
+    matching (+fallback) -> pose LM -> local-map frustum matching
+    (+fallback) -> pose LM -> landmark visibility/found stat scatter.
+
+Why: on dispatch-latency-bound runtimes (the tunneled TPU; any multi-tenant
+accelerator) per-frame wall clock is dominated by program count, not FLOPs
+(SURVEY.md §7 hard part 3).  Round 1 dispatched ~10 programs/frame; this is
+one, plus two small host fetches (a 16-float pose/stats blob and the per-slot
+landmark ids the host needs for keyframe-rate bookkeeping).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend.extractor_batched import extract_batched
+from ..geometry.camera import CameraParams, undistort_pixels
+from . import track_kernels as tk
+
+
+class FrameStepOut(NamedTuple):
+    # frame features (device-resident; host pulls only at keyframe rate)
+    xy: jnp.ndarray          # [N, 2] raw (distorted) level-0 pixels
+    xy_und: jnp.ndarray      # [N, 2] undistorted
+    response: jnp.ndarray    # [N]
+    angle: jnp.ndarray       # [N]
+    level: jnp.ndarray       # [N] int32
+    desc: jnp.ndarray        # [N, 8] uint32
+    kp_valid: jnp.ndarray    # [N] bool
+    inv_sigma2: jnp.ndarray  # [N]
+    sigma2: jnp.ndarray      # [N]
+    # tracking results
+    R: jnp.ndarray           # [3, 3]
+    t: jnp.ndarray           # [3]
+    pid_global: jnp.ndarray  # [N] int32 global landmark id per slot (-1 none)
+    next_last_pos: jnp.ndarray  # [N, 3] positions of associated landmarks
+    inliers: jnp.ndarray     # [N] bool
+    # updated landmark statistics (full-map arrays)
+    mp_visible: jnp.ndarray  # [P] int32
+    mp_found: jnp.ndarray    # [P] int32
+    # packed host readback: [R(9), t(3), f2f, localmap, visible, inliers]
+    host_blob: jnp.ndarray   # [16] float32
+
+
+@partial(jax.jit, static_argnames=(
+    "ext_cfg", "matcher_cfg", "solver_cfg", "use_pallas",
+    "min_track_inliers"))
+def frame_step(
+    image,
+    last_desc, last_level, last_angle, last_pos, last_valid,
+    mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
+    sel, sel_valid,
+    mp_visible, mp_found,
+    R_pred, t_pred, prev_localmap_matches,
+    cam: CameraParams,
+    *, ext_cfg, matcher_cfg, solver_cfg,
+    use_pallas: bool = False, min_track_inliers: int = 10,
+) -> FrameStepOut:
+    """image: [H, W] grayscale (any numeric dtype, 0..255 range).
+    sel: [cap] int32 indices of the local-map points (host-selected by
+    covisibility voting); sel_valid masks padding.  mp_* are the FULL map
+    tables; gathering the local window inside the program saves dispatches.
+    """
+    feats = extract_batched(
+        image.astype(jnp.float32), ext_cfg, ext_cfg.n_features,
+        ext_cfg.max_keypoints, use_pallas)
+    xy_und = undistort_pixels(feats.xy, cam)
+    scale2 = jnp.asarray(ext_cfg.sigma2)
+    s2 = scale2[jnp.clip(feats.level, 0, ext_cfg.n_levels - 1)]
+    inv_s2 = 1.0 / s2
+
+    # local-map window gather (UpdateReference's point set)
+    lpos = mp_pos[sel]
+    ldesc = mp_desc[sel]
+    lnorm = mp_normal[sel]
+    lmin = mp_min_dist[sel]
+    lmax = mp_max_dist[sel]
+    lvalid = mp_valid[sel] & sel_valid
+
+    R_fin, t_fin, assoc, inliers, visible, stats = tk.tracking_megastep(
+        xy_und, feats.desc, feats.level, feats.angle, feats.valid, inv_s2,
+        last_pos, last_desc, last_level, last_angle, last_valid,
+        lpos, ldesc, lnorm, lmin, lmax, lvalid,
+        R_pred, t_pred, cam, solver_cfg,
+        min_track_inliers=min_track_inliers,
+        prev_localmap_matches=prev_localmap_matches,
+        scale_factor=ext_cfg.scale_factor, n_levels=ext_cfg.n_levels,
+        matcher_cfg=matcher_cfg)
+
+    # global landmark id per keypoint slot (tracked inliers only — the next
+    # frame's "last frame" associations, Tracking.cc outlier scrub :597-608)
+    pid_global = jnp.where(
+        assoc.valid & inliers, sel[assoc.point_idx], -1).astype(jnp.int32)
+    next_last_pos = mp_pos[jnp.clip(pid_global, 0, None)]
+
+    # landmark statistics (MapPoint::IncreaseVisible/IncreaseFound,
+    # src/Tracking.cc:634-639,716-721) as scatter-adds
+    mp_visible2 = mp_visible.at[sel].add((visible & lvalid).astype(jnp.int32))
+    mp_found2 = mp_found.at[jnp.clip(pid_global, 0, None)].add(
+        (pid_global >= 0).astype(jnp.int32))
+
+    host_blob = jnp.concatenate([
+        R_fin.reshape(9), t_fin,
+        jnp.stack([stats["f2f_matches"].astype(jnp.float32),
+                   stats["localmap_matches"].astype(jnp.float32),
+                   stats["n_visible"].astype(jnp.float32),
+                   stats["n_inliers"].astype(jnp.float32)])])
+
+    return FrameStepOut(
+        xy=feats.xy, xy_und=xy_und, response=feats.response,
+        angle=feats.angle, level=feats.level, desc=feats.desc,
+        kp_valid=feats.valid, inv_sigma2=inv_s2, sigma2=s2,
+        R=R_fin, t=t_fin, pid_global=pid_global,
+        next_last_pos=next_last_pos, inliers=inliers,
+        mp_visible=mp_visible2, mp_found=mp_found2,
+        host_blob=host_blob)

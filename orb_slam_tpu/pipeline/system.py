@@ -40,12 +40,13 @@ class System:
         return System(cfg=cfg, tracker=Tracker.create(cfg))
 
     def process_image(self, image: np.ndarray, timestamp: float) -> dict:
-        """image: [H, W] float32 grayscale in [0, 255]."""
-        with self.timer.stage("tracking", "extractORB"):
-            feats = extractor.extract_default(jnp.asarray(image),
-                                              self.cfg.extractor)
-        with self.timer.stage("tracking", "track"):
-            return self.tracker.process(feats, timestamp)
+        """image: [H, W] grayscale in [0, 255].
+
+        WORKING-state frames run extraction + tracking as one fused device
+        program (pipeline/frame_step.py); other states take the staged path.
+        """
+        with self.timer.stage("tracking", "grabImage"):
+            return self.tracker.process_image(image, timestamp)
 
     def save_trajectory(self, path: str):
         rows = self.tracker.keyframe_trajectory()

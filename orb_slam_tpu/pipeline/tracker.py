@@ -99,7 +99,8 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def process(self, feats: FrameFeatures, timestamp: float) -> dict:
-        """Track one frame; returns a metrics dict (SURVEY.md §5.5)."""
+        """Track one frame from pre-extracted features; returns a metrics
+        dict (SURVEY.md §5.5)."""
         fd = frame_mod.build_frame(feats, self.cam, self.cfg.extractor)
         metrics = {"frame_id": self.frame_id, "state": self.state.name,
                    "n_kp": int(jnp.sum(feats.valid))}
@@ -116,6 +117,132 @@ class Tracker:
         metrics["n_map_points"] = self.slam_map.n_mp
         metrics["n_keyframes"] = self.slam_map.n_kf
         return metrics
+
+    def process_image(self, image, timestamp: float) -> dict:
+        """Track one frame from a raw grayscale image.
+
+        In the WORKING state the whole hot path (extraction + undistortion +
+        matching + pose optimization + landmark stats) runs as ONE device
+        program (pipeline/frame_step.py); other states extract first, then
+        take the host-orchestrated path.
+        """
+        if self.state == TrackState.WORKING:
+            metrics = {"frame_id": self.frame_id, "state": self.state.name}
+            self._track_fused(image, timestamp, metrics)
+            self.frame_id += 1
+            metrics["state_after"] = self.state.name
+            metrics["n_map_points"] = self.slam_map.n_mp
+            metrics["n_keyframes"] = self.slam_map.n_kf
+            return metrics
+        feats = self.extract(image)
+        return self.process(feats, timestamp)
+
+    def extract(self, image) -> FrameFeatures:
+        """Default extraction path: level-batched, Pallas-fused on TPU."""
+        from ..frontend.extractor_batched import extract_batched
+        ecfg = self.cfg.extractor
+        use_pallas = (jax.default_backend() in ("tpu", "axon")
+                      and not ecfg.score_harris)
+        return extract_batched(
+            jnp.asarray(image, jnp.float32), ecfg, ecfg.n_features,
+            ecfg.max_keypoints, use_pallas)
+
+    def _track_fused(self, image, timestamp, metrics):
+        """WORKING-state tracking via the single fused frame program."""
+        from . import frame_step as fs
+
+        tcfg = self.cfg.tracker
+        st = self.slam_map.state
+
+        # pose prediction (motion model, Tracking.cc:130-139) — host numpy
+        R_last = np.asarray(self.last_R)
+        t_last = np.asarray(self.last_t)
+        if tcfg.use_motion_model and self.vel_R is not None:
+            R_pred = self.vel_R @ R_last
+            t_pred = self.vel_R @ t_last + self.vel_t
+        else:
+            R_pred, t_pred = R_last, t_last
+
+        # local-map window selection (host covisibility voting)
+        cap = self.cfg.map.local_ba_max_points
+        ids = self._select_local_point_ids(cap)
+        pad = cap - len(ids)
+        sel = np.concatenate([ids, np.zeros(pad, np.int64)]).astype(np.int32)
+        sel_valid = np.concatenate([np.ones(len(ids), bool),
+                                    np.zeros(pad, bool)])
+        lf = self.last_frame
+        use_pallas = (jax.default_backend() in ("tpu", "axon")
+                      and not self.cfg.extractor.score_harris)
+
+        out = fs.frame_step(
+            image,
+            lf.feats.desc, lf.feats.level, lf.feats.angle,
+            self.last_assoc_pos, self.last_assoc_valid,
+            st.mp_pos, st.mp_desc, st.mp_normal, st.mp_min_dist,
+            st.mp_max_dist, st.mp_valid,
+            sel, sel_valid,
+            st.mp_visible, st.mp_found,
+            R_pred.astype(np.float32), t_pred.astype(np.float32),
+            np.int32(self._prev_localmap_matches),
+            self.cam,
+            ext_cfg=self.cfg.extractor, matcher_cfg=self.cfg.matcher,
+            solver_cfg=self.cfg.solver, use_pallas=use_pallas,
+            min_track_inliers=tcfg.min_track_inliers)
+
+        # two small host fetches: pose/stat blob + per-slot landmark ids
+        blob = np.asarray(out.host_blob)
+        pid_global = np.asarray(out.pid_global)
+        Rc = blob[:9].reshape(3, 3)
+        tc = blob[9:12]
+        n_f2f, n_lm, n_vis, n_inl = (int(x) for x in blob[12:16])
+        metrics.update(f2f_matches=n_f2f, localmap_matches=n_lm,
+                       n_visible=n_vis, inliers=n_inl)
+        self._prev_localmap_matches = n_lm
+
+        # landmark stats were bumped inside the program
+        self.slam_map.state = self.slam_map.state._replace(
+            mp_visible=out.mp_visible, mp_found=out.mp_found)
+
+        fd = frame_mod.FrameData(
+            feats=FrameFeatures(
+                xy=out.xy, response=out.response, angle=out.angle,
+                level=out.level, desc=out.desc, valid=out.kp_valid),
+            xy_und=out.xy_und, inv_sigma2=out.inv_sigma2, sigma2=out.sigma2)
+
+        if n_inl < tcfg.min_localmap_inliers:
+            self.trajectory.append(FrameRecord(
+                self.frame_id, timestamp, Rc, tc, False))
+            if self.slam_map.n_kf <= tcfg.reset_if_lost_before_kfs:
+                self._reset_map()
+                metrics["event"] = "system_reset"
+            else:
+                self.state = TrackState.LOST
+                metrics["event"] = "tracking_lost"
+            return
+
+        # motion model update
+        self.vel_R = np.asarray(se3.orthonormalize(jnp.asarray(Rc @ R_last.T)))
+        self.vel_t = tc - self.vel_R @ t_last
+
+        self.last_R, self.last_t = Rc, tc
+        self.last_frame = fd
+        self.last_assoc_pid = pid_global
+        self.last_assoc_valid = pid_global >= 0
+        self.last_assoc_pos = out.next_last_pos
+
+        self.trajectory.append(FrameRecord(
+            self.frame_id, timestamp, Rc, tc, True))
+
+        # keyframe decision (NeedNewKeyFrame, Tracking.cc:651-689)
+        self.n_ref_tracked = max(self.n_ref_tracked, n_inl)
+        frames_since = self.frame_id - self.last_kf_frame_id
+        need = (
+            frames_since >= tcfg.max_frames_between_kf
+            or (n_inl < tcfg.kf_min_tracked_ratio * max(self.n_ref_tracked, 1)
+                and frames_since >= tcfg.min_frames_between_kf)
+        ) and n_inl >= tcfg.kf_min_tracked
+        if need:
+            self._create_keyframe(fd, timestamp, pid_global, metrics)
 
     # ------------------------------------------------------------------
     def _initialize(self, fd, timestamp, metrics):
