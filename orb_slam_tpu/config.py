@@ -126,6 +126,11 @@ class TrackerConfig:
     kf_min_tracked: int = 50          # and at least 50 tracked points
     reset_if_lost_before_kfs: int = 5  # early-failure full reset (Tracking.cc:278-285)
     use_motion_model: bool = True     # UseMotionModel flag (Settings.yaml:44)
+    # run local mapping + loop closing on a worker thread over functional map
+    # snapshots, like the reference's LocalMapping/LoopClosing threads
+    # (src/main.cc:123-133); keyframe insertion is skipped while the worker
+    # is busy (SetAcceptKeyFrames backpressure, src/LocalMapping.cc:522-532)
+    async_mapping: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,6 +66,9 @@ class SlamMap:
     loop_edges: Optional[list] = None          # list of (kf_a, kf_b)
     kf_frame_id: Optional[np.ndarray] = None   # [K] source frame index
     kf_timestamp: Optional[np.ndarray] = None  # [K] float64
+    # old->new point-id LUT of the most recent compaction(s), composed; -1 =
+    # dropped.  Consumers (async tracker commit) read and clear it.
+    last_compaction_lut: Optional[np.ndarray] = None
 
     @staticmethod
     def create(cfg: MapConfig, n_slots: int) -> "SlamMap":
@@ -109,18 +112,12 @@ class SlamMap:
         if self.n_kf >= self.cfg.max_keyframes:
             raise RuntimeError("keyframe pool exhausted (compaction TODO)")
         k = self.n_kf
-        s = self.state
-        self.state = s._replace(
-            kf_valid=s.kf_valid.at[k].set(True),
-            kf_R=s.kf_R.at[k].set(R),
-            kf_t=s.kf_t.at[k].set(t),
-            kf_xy=s.kf_xy.at[k].set(xy),
-            kf_level=s.kf_level.at[k].set(level),
-            kf_angle=s.kf_angle.at[k].set(angle),
-            kf_desc=s.kf_desc.at[k].set(desc),
-            kf_kp_valid=s.kf_kp_valid.at[k].set(kp_valid),
-            kf_obs=s.kf_obs.at[k].set(obs),
-        )
+        # one fused program (k traced -> no recompile per slot); this is on
+        # the keyframe-insertion critical path of the tracking thread
+        self.state = _insert_keyframe_jit(
+            self.state, jnp.int32(k), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(xy), jnp.asarray(level), jnp.asarray(angle),
+            jnp.asarray(desc), jnp.asarray(kp_valid), jnp.asarray(obs))
         self.parent[k] = parent
         self.kf_frame_id[k] = frame_id
         self.kf_timestamp[k] = timestamp
@@ -143,6 +140,11 @@ class SlamMap:
         P = self.cfg.max_points
         lut = np.full(P + 1, -1, np.int32)
         lut[live] = np.arange(n_live, dtype=np.int32)
+        if self.last_compaction_lut is None:
+            self.last_compaction_lut = lut.copy()
+        else:  # compose: oldest ids -> newest ids
+            prev = self.last_compaction_lut
+            self.last_compaction_lut = np.where(prev >= 0, lut[prev], -1)
 
         obs_np = np.array(np.asarray(st.kf_obs), np.int32, copy=True)
         native.remap_observations(obs_np, lut)
@@ -231,6 +233,22 @@ class SlamMap:
         self.state = s._replace(
             kf_R=s.kf_R.at[kf_id].set(R), kf_t=s.kf_t.at[kf_id].set(t)
         )
+
+
+@jax.jit
+def _insert_keyframe_jit(s: MapState, k, R, t, xy, level, angle, desc,
+                         kp_valid, obs) -> MapState:
+    return s._replace(
+        kf_valid=s.kf_valid.at[k].set(True),
+        kf_R=s.kf_R.at[k].set(R),
+        kf_t=s.kf_t.at[k].set(t),
+        kf_xy=s.kf_xy.at[k].set(xy),
+        kf_level=s.kf_level.at[k].set(level),
+        kf_angle=s.kf_angle.at[k].set(angle),
+        kf_desc=s.kf_desc.at[k].set(desc),
+        kf_kp_valid=s.kf_kp_valid.at[k].set(kp_valid),
+        kf_obs=s.kf_obs.at[k].set(obs),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -3,9 +3,10 @@
 Replaces the Tracking thread (src/Tracking.cc) — but where the reference
 interleaves three threads over a mutex-guarded map, this design runs pure
 jitted kernels over SoA state and serializes map commits on the host
-(SURVEY.md §2.3).  Keyframe-rate work (LocalMapper) runs synchronously after
-the frame for now; the dispatch boundary is already async-friendly because
-every kernel is a pure function of (frame, map snapshot).
+(SURVEY.md §2.3).  Keyframe-rate work (LocalMapper + LoopCloser) runs either
+synchronously after the frame or on a worker thread over functional map
+snapshots (pipeline/async_mapper.py, cfg.tracker.async_mapping) — the
+equivalent of the reference's LocalMapping/LoopClosing threads.
 
 States mirror Tracking.h:57-64: NOT_INITIALIZED -> INITIALIZING -> WORKING
 <-> LOST (SYSTEM_NOT_READY/NO_IMAGES_YET collapse into NOT_INITIALIZED).
@@ -59,6 +60,7 @@ class Tracker:
     slam_map: mapstore.SlamMap
     local_mapper: LocalMapper
     loop_closer: Optional[LoopCloser] = None
+    async_mapper: Optional[object] = None  # pipeline.async_mapper.AsyncMapper
 
     state: TrackState = TrackState.NOT_INITIALIZED
     frame_id: int = 0
@@ -94,8 +96,12 @@ class Tracker:
         smap = mapstore.SlamMap.create(cfg.map, cfg.extractor.max_keypoints)
         lm = LocalMapper(cfg=cfg, cam=cam)
         lc = LoopCloser(cfg=cfg, cam=cam)
+        am = None
+        if cfg.tracker.async_mapping:
+            from .async_mapper import AsyncMapper
+            am = AsyncMapper(lm, lc)
         return Tracker(cfg=cfg, cam=cam, slam_map=smap, local_mapper=lm,
-                       loop_closer=lc)
+                       loop_closer=lc, async_mapper=am)
 
     # ------------------------------------------------------------------
     def process(self, feats: FrameFeatures, timestamp: float) -> dict:
@@ -104,6 +110,7 @@ class Tracker:
         fd = frame_mod.build_frame(feats, self.cam, self.cfg.extractor)
         metrics = {"frame_id": self.frame_id, "state": self.state.name,
                    "n_kp": int(jnp.sum(feats.valid))}
+        self._poll_mapper(metrics)
 
         if self.state in (TrackState.NOT_INITIALIZED, TrackState.INITIALIZING):
             self._initialize(fd, timestamp, metrics)
@@ -128,6 +135,7 @@ class Tracker:
         """
         if self.state == TrackState.WORKING:
             metrics = {"frame_id": self.frame_id, "state": self.state.name}
+            self._poll_mapper(metrics)
             self._track_fused(image, timestamp, metrics)
             self.frame_id += 1
             metrics["state_after"] = self.state.name
@@ -136,6 +144,85 @@ class Tracker:
             return metrics
         feats = self.extract(image)
         return self.process(feats, timestamp)
+
+    # ------------------------------------------------------------------
+    # async mapping: poll/commit (see pipeline/async_mapper.py)
+    # ------------------------------------------------------------------
+    def _poll_mapper(self, metrics):
+        if self.async_mapper is None:
+            return
+        res = self.async_mapper.poll()
+        if res is not None:
+            self._commit_mapping(res, metrics)
+
+    def _commit_mapping(self, res, metrics):
+        """Adopt the worker's map and re-apply the tracking-side landmark
+        stat deltas accumulated while it ran (the tracker's only map writes
+        between keyframes), remapped if the worker compacted the pool."""
+        P = self.cfg.map.max_points
+        cur = self.slam_map.state
+        new_map = res.smap
+        nst = new_map.state
+        dvis = cur.mp_visible - res.snap_visible
+        dfnd = cur.mp_found - res.snap_found
+        if res.remap_lut is not None:
+            lut = jnp.asarray(res.remap_lut[:P])
+            tgt = jnp.where(lut >= 0, lut, P)
+            dvis = jnp.zeros(P + 1, jnp.int32).at[tgt].add(dvis)[:P]
+            dfnd = jnp.zeros(P + 1, jnp.int32).at[tgt].add(dfnd)[:P]
+        new_map.state = nst._replace(
+            mp_visible=nst.mp_visible + dvis,
+            mp_found=nst.mp_found + dfnd)
+        old_state = cur
+        self.slam_map = new_map
+        metrics["mapping"] = res.metrics
+
+        # remap + revalidate the in-flight per-slot associations
+        pid = self.last_assoc_pid
+        if pid is not None:
+            pid = np.asarray(pid)
+            if res.remap_lut is not None:
+                pid = np.where(
+                    pid >= 0, res.remap_lut[np.clip(pid, 0, None)], -1)
+            mp_valid = np.asarray(new_map.state.mp_valid)
+            pid = np.where((pid >= 0) & mp_valid[np.clip(pid, 0, None)],
+                           pid, -1).astype(np.int32)
+            self.last_assoc_pid = pid
+            self.last_assoc_valid = pid >= 0
+            self.last_assoc_pos = new_map.state.mp_pos[
+                jnp.clip(jnp.asarray(pid), 0, None)]
+
+        kf_valid = np.asarray(new_map.state.kf_valid)
+        if self.ref_kf >= 0 and (self.ref_kf >= len(kf_valid)
+                                 or not kf_valid[self.ref_kf]):
+            self.ref_kf = res.kf
+
+        if res.metrics.get("loop_closed"):
+            # the map moved under the tracker (LoopClosing::CorrectLoop +
+            # ForceRelocalisation, src/LoopClosing.cc:551): carry the loop
+            # KF's world correction onto the current tracked pose, then
+            # reset the motion model
+            R_old = np.asarray(old_state.kf_R[res.kf])
+            t_old = np.asarray(old_state.kf_t[res.kf])
+            R_new = np.asarray(nst.kf_R[res.kf])
+            t_new = np.asarray(nst.kf_t[res.kf])
+            R_g = R_old.T @ R_new                 # G^-1 = Twc_old ∘ Tcw_new
+            t_g = R_old.T @ (t_new - t_old)
+            R_last = np.asarray(self.last_R)
+            t_last = np.asarray(self.last_t)
+            self.last_R = np.asarray(se3.orthonormalize(
+                jnp.asarray(R_last @ R_g)))
+            self.last_t = R_last @ t_g + t_last
+            self.vel_R, self.vel_t = None, None
+            self.local_mapper.refresh_point_stats(self.slam_map)
+
+    def finish(self):
+        """Flush in-flight mapping work and commit (call before exporting
+        the trajectory/map — the reference joins its threads at shutdown)."""
+        if self.async_mapper is not None:
+            res = self.async_mapper.flush()
+            if res is not None:
+                self._commit_mapping(res, {})
 
     def extract(self, image) -> FrameFeatures:
         """Default extraction path: level-batched, Pallas-fused on TPU."""
@@ -242,7 +329,19 @@ class Tracker:
                 and frames_since >= tcfg.min_frames_between_kf)
         ) and n_inl >= tcfg.kf_min_tracked
         if need:
-            self._create_keyframe(fd, timestamp, pid_global, metrics)
+            am = self.async_mapper
+            if am is not None and am.busy:
+                # backpressure (SetAcceptKeyFrames, src/Tracking.cc:665-685):
+                # normally skip; but if tracking is about to starve, drain
+                # the worker and insert (the InterruptBA analog)
+                if n_inl < 2 * tcfg.kf_min_tracked:
+                    res = am.flush()
+                    if res is not None:
+                        self._commit_mapping(res, metrics)
+                    self._create_keyframe(
+                        fd, timestamp, self.last_assoc_pid, metrics)
+            else:
+                self._create_keyframe(fd, timestamp, pid_global, metrics)
 
     # ------------------------------------------------------------------
     def _initialize(self, fd, timestamp, metrics):
@@ -391,6 +490,11 @@ class Tracker:
         """Full system reset (Reset/RequestReset handshakes,
         src/Tracking.cc:1052-1089): clears map, keyframe database, motion
         model; tracking restarts from initialization."""
+        if self.async_mapper is not None:
+            try:  # drain the worker; its result dies with the old map
+                self.async_mapper.flush()
+            except Exception:
+                pass
         self.slam_map = mapstore.SlamMap.create(
             self.cfg.map, self.cfg.extractor.max_keypoints)
         self.state = TrackState.NOT_INITIALIZED
@@ -504,7 +608,19 @@ class Tracker:
                 and frames_since >= tcfg.min_frames_between_kf)
         ) and n_inl >= tcfg.kf_min_tracked
         if need:
-            self._create_keyframe(fd, timestamp, pid_global, metrics)
+            am = self.async_mapper
+            if am is not None and am.busy:
+                # backpressure (SetAcceptKeyFrames, src/Tracking.cc:665-685):
+                # normally skip; but if tracking is about to starve, drain
+                # the worker and insert (the InterruptBA analog)
+                if n_inl < 2 * tcfg.kf_min_tracked:
+                    res = am.flush()
+                    if res is not None:
+                        self._commit_mapping(res, metrics)
+                    self._create_keyframe(
+                        fd, timestamp, self.last_assoc_pid, metrics)
+            else:
+                self._create_keyframe(fd, timestamp, pid_global, metrics)
 
     # ------------------------------------------------------------------
     def _relocalize(self, fd, timestamp, metrics):
@@ -513,6 +629,11 @@ class Tracker:
         landmarks, batched PnP RANSAC, pose refinement, local-map
         re-acquisition."""
         metrics["event"] = "lost"
+        # reloc reads the place-recognition DB the worker writes: drain it
+        if self.async_mapper is not None:
+            res = self.async_mapper.flush()
+            if res is not None:
+                self._commit_mapping(res, metrics)
         lc = self.loop_closer
         if lc is None or lc.voc is None or self.slam_map.n_kf == 0:
             return
@@ -686,7 +807,13 @@ class Tracker:
         metrics["event"] = "keyframe_inserted"
         metrics["kf_id"] = kf
 
-        # keyframe-rate map building (synchronous for now)
+        if self.async_mapper is not None:
+            # keyframe-rate work runs on the worker over a snapshot; the
+            # result is committed at a later frame boundary (_poll_mapper)
+            self.async_mapper.submit(smap, kf)
+            return
+
+        # keyframe-rate map building (synchronous)
         lm_metrics = self.local_mapper.process_keyframe(smap, kf)
         metrics.update(lm_metrics)
 
@@ -718,6 +845,7 @@ class Tracker:
     def keyframe_trajectory(self):
         """TUM-format keyframe trajectory (src/main.cc:160-185): camera-to-
         world poses of all keyframes."""
+        self.finish()  # commit any in-flight mapping work first
         smap = self.slam_map
         rows = []
         st = smap.state

@@ -85,11 +85,18 @@ def annulus_world(rng, n_points=6000, center=(3.0, 0.0, 0.0),
 
 def render_frame(rng, X, desc, R, t, K, n_slots=512, noise=0.3,
                  flip_bits=3, width=640, height=480, drop_frac=0.05,
-                 priority=None):
+                 priority=None, obj_size=None):
     """priority: optional [n_points] salience ranking — when given, the same
     strong landmarks are selected every frame (detector repeatability),
     instead of a fresh random subsample (which churns the feature set and
-    starves matching)."""
+    starves matching).
+
+    obj_size: optional [n_points] physical-size constant per landmark; when
+    given, the detected pyramid level follows the scale model the tracker's
+    PredictScale assumes (level ~ log(size/depth)/log(1.2), clipped to
+    [0, 7]) instead of a flat level 0 — required for sequences that revisit
+    landmarks at substantially different distances (a real detector would
+    re-detect them at a different octave)."""
     xc = X @ R.T + t
     z = xc[:, 2]
     uv = np.stack(
@@ -118,11 +125,16 @@ def render_frame(rng, X, desc, R, t, K, n_slots=512, noise=0.3,
     dd[:n] = d
     valid = np.zeros(n_slots, bool)
     valid[:n] = True
+    levels = np.zeros(n_slots, np.int32)
+    if obj_size is not None:
+        levels[:n] = np.clip(np.round(
+            np.log(obj_size[idx] / np.maximum(z[idx], 1e-3)) / np.log(1.2)
+        ), 0, 7).astype(np.int32)
     return FrameFeatures(
         xy=jnp.asarray(xy),
         response=jnp.asarray(valid, jnp.float32) * 50.0,
         angle=jnp.zeros(n_slots),
-        level=jnp.zeros(n_slots, jnp.int32),
+        level=jnp.asarray(levels),
         desc=jnp.asarray(dd),
         valid=jnp.asarray(valid),
     ), idx

@@ -85,11 +85,19 @@ def test_loop_closure_on_revisit():
     prio = rng.uniform(size=len(X))
     K = cfg.camera.K
     poses = driving_loop(110)
+    # scale-consistent detection levels: the drive revisits landmarks at
+    # different distances, so PredictScale-compatible octaves are required
+    # (see render_frame docstring); anchor sizes to typical viewing distance
+    centers = np.asarray([-R.T @ t for R, t in poses])
+    d_typ = np.linalg.norm(
+        X - centers.mean(0)[None, :], axis=1)
+    obj_size = d_typ  # level 0 at typical range, finer octaves when closer
 
     tracker = Tracker.create(cfg)
     loop_events = []
     for i, (R, t) in enumerate(poses):
-        feats, _ = render_frame(rng, X, desc, R, t, K, priority=prio)
+        feats, _ = render_frame(rng, X, desc, R, t, K, priority=prio,
+                                obj_size=obj_size)
         m = tracker.process(feats, timestamp=i / 30.0)
         if m.get("loop_closed"):
             loop_events.append(i)
