@@ -49,8 +49,9 @@ class FrameStepOut(NamedTuple):
     # updated landmark statistics (full-map arrays)
     mp_visible: jnp.ndarray  # [P] int32
     mp_found: jnp.ndarray    # [P] int32
-    # packed host readback: [R(9), t(3), f2f, localmap, visible, inliers]
-    host_blob: jnp.ndarray   # [16] float32
+    # packed host readback (ONE fetch per frame):
+    # [R(9), t(3), f2f, localmap, visible, inliers, pid_global(N)]
+    host_blob: jnp.ndarray   # [16 + N] float32 (pids exact: < 2^24)
 
 
 @partial(jax.jit, static_argnames=(
@@ -60,18 +61,24 @@ def frame_step(
     image,
     last_desc, last_level, last_angle, last_pos, last_valid,
     mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
-    sel, sel_valid,
+    sel,
     mp_visible, mp_found,
-    R_pred, t_pred, prev_localmap_matches,
+    pose_vec,
     cam: CameraParams,
     *, ext_cfg, matcher_cfg, solver_cfg,
     use_pallas: bool = False, min_track_inliers: int = 10,
 ) -> FrameStepOut:
     """image: [H, W] grayscale (any numeric dtype, 0..255 range).
     sel: [cap] int32 indices of the local-map points (host-selected by
-    covisibility voting); sel_valid masks padding.  mp_* are the FULL map
-    tables; gathering the local window inside the program saves dispatches.
+    covisibility voting; -1 = padding).  mp_* are the FULL map tables;
+    gathering the local window inside the program saves dispatches.
+    pose_vec: [13] float32 = [R_pred(9), t_pred(3), prev_localmap_matches]
+    packed into one upload.
     """
+    R_pred = pose_vec[:9].reshape(3, 3)
+    t_pred = pose_vec[9:12]
+    prev_localmap_matches = pose_vec[12].astype(jnp.int32)
+
     feats = extract_batched(
         image.astype(jnp.float32), ext_cfg, ext_cfg.n_features,
         ext_cfg.max_keypoints, use_pallas)
@@ -81,6 +88,8 @@ def frame_step(
     inv_s2 = 1.0 / s2
 
     # local-map window gather (UpdateReference's point set)
+    sel_valid = sel >= 0
+    sel = jnp.clip(sel, 0, None)
     lpos = mp_pos[sel]
     ldesc = mp_desc[sel]
     lnorm = mp_normal[sel]
@@ -115,7 +124,8 @@ def frame_step(
         jnp.stack([stats["f2f_matches"].astype(jnp.float32),
                    stats["localmap_matches"].astype(jnp.float32),
                    stats["n_visible"].astype(jnp.float32),
-                   stats["n_inliers"].astype(jnp.float32)])])
+                   stats["n_inliers"].astype(jnp.float32)]),
+        pid_global.astype(jnp.float32)])
 
     return FrameStepOut(
         xy=feats.xy, xy_und=xy_und, response=feats.response,

@@ -74,6 +74,10 @@ class Tracker:
 
     # last frame state
     _prev_localmap_matches: int = 0
+    # cached local-map window selection (recomputed on map changes)
+    _sel_cache: Optional[np.ndarray] = None
+    _sel_frame: int = -10**9
+    _sel_dirty: bool = True
     last_frame: Optional[frame_mod.FrameData] = None
     last_R: Optional[jnp.ndarray] = None
     last_t: Optional[jnp.ndarray] = None
@@ -175,6 +179,7 @@ class Tracker:
             mp_found=nst.mp_found + dfnd)
         old_state = cur
         self.slam_map = new_map
+        self._sel_dirty = True
         metrics["mapping"] = res.metrics
 
         # remap + revalidate the in-flight per-slot associations
@@ -250,35 +255,44 @@ class Tracker:
         else:
             R_pred, t_pred = R_last, t_last
 
-        # local-map window selection (host covisibility voting)
+        # local-map window selection (host covisibility voting).  The local
+        # window only changes when mapping commits or tracked associations
+        # drift, so recompute it at most every few frames (the upload is a
+        # relay round trip)
         cap = self.cfg.map.local_ba_max_points
-        ids = self._select_local_point_ids(cap)
-        pad = cap - len(ids)
-        sel = np.concatenate([ids, np.zeros(pad, np.int64)]).astype(np.int32)
-        sel_valid = np.concatenate([np.ones(len(ids), bool),
-                                    np.zeros(pad, bool)])
+        if (self._sel_cache is None or self._sel_dirty
+                or self.frame_id - self._sel_frame >= 4):
+            ids = self._select_local_point_ids(cap)
+            pad = cap - len(ids)
+            self._sel_cache = np.concatenate(
+                [ids, np.full(pad, -1)]).astype(np.int32)
+            self._sel_frame = self.frame_id
+            self._sel_dirty = False
+        sel = self._sel_cache
         lf = self.last_frame
         use_pallas = (jax.default_backend() in ("tpu", "axon")
                       and not self.cfg.extractor.score_harris)
 
+        pose_vec = np.concatenate([
+            R_pred.reshape(9), t_pred,
+            [float(self._prev_localmap_matches)]]).astype(np.float32)
         out = fs.frame_step(
             image,
             lf.feats.desc, lf.feats.level, lf.feats.angle,
             self.last_assoc_pos, self.last_assoc_valid,
             st.mp_pos, st.mp_desc, st.mp_normal, st.mp_min_dist,
             st.mp_max_dist, st.mp_valid,
-            sel, sel_valid,
+            sel,
             st.mp_visible, st.mp_found,
-            R_pred.astype(np.float32), t_pred.astype(np.float32),
-            np.int32(self._prev_localmap_matches),
+            pose_vec,
             self.cam,
             ext_cfg=self.cfg.extractor, matcher_cfg=self.cfg.matcher,
             solver_cfg=self.cfg.solver, use_pallas=use_pallas,
             min_track_inliers=tcfg.min_track_inliers)
 
-        # two small host fetches: pose/stat blob + per-slot landmark ids
+        # ONE host fetch: pose + stats + per-slot landmark ids
         blob = np.asarray(out.host_blob)
-        pid_global = np.asarray(out.pid_global)
+        pid_global = blob[16:].astype(np.int32)
         Rc = blob[:9].reshape(3, 3)
         tc = blob[9:12]
         n_f2f, n_lm, n_vis, n_inl = (int(x) for x in blob[12:16])
@@ -503,6 +517,8 @@ class Tracker:
         self.last_kf_frame_id = -10**9
         self.n_ref_tracked = 0
         self._prev_localmap_matches = 0
+        self._sel_cache = None
+        self._sel_dirty = True
         if self.loop_closer is not None:
             self.loop_closer.kf_bow = {}
             self.loop_closer.consistent_groups = []
@@ -804,6 +820,7 @@ class Tracker:
         self.ref_kf = kf
         self.n_ref_tracked = int((pid_global >= 0).sum())
         self.last_kf_frame_id = self.frame_id
+        self._sel_dirty = True
         metrics["event"] = "keyframe_inserted"
         metrics["kf_id"] = kf
 
