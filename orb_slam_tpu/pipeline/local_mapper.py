@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import SystemConfig
@@ -447,8 +448,7 @@ class LocalMapper:
             smap, window, fixed_kfs, point_ids)
         if len(window) <= 1 and not point_ids.size:
             return
-        res = ba.bundle_adjust(Rs, ts, Xs, fixed, edges, self.cam,
-                               self.cfg.solver, two_phase=True)
+        res = self._run_ba(Rs, ts, Xs, fixed, edges, two_phase=True)
         self._write_back(smap, res, book)
 
     def global_ba(self, smap: mapstore.SlamMap):
@@ -464,9 +464,21 @@ class LocalMapper:
         # gauge: fix the first keyframe by listing it in the fixed group
         Rs, ts, Xs, fixed, edges, book = self._build_ba_problem(
             smap, window[1:], [window[0]], point_ids)
-        res = ba.bundle_adjust(Rs, ts, Xs, fixed, edges, self.cam,
-                               self.cfg.solver, two_phase=False)
+        res = self._run_ba(Rs, ts, Xs, fixed, edges, two_phase=False)
         self._write_back(smap, res, book)
+
+    def _run_ba(self, Rs, ts, Xs, fixed, edges, two_phase: bool):
+        """Dispatch BA to the distributed landmark-sharded solver when the
+        mesh config requests >1 device (BASELINE configs 4-5: the system's
+        BA, not a side demo), else the single-device solver."""
+        n_shards = self.cfg.mesh.data_parallel
+        if n_shards > 1 and len(jax.devices()) >= n_shards:
+            from ..parallel import dist_ba
+            return dist_ba.bundle_adjust_dist(
+                Rs, ts, Xs, fixed, edges, self.cam, self.cfg.solver,
+                two_phase=two_phase, n_shards=n_shards)
+        return ba.bundle_adjust(Rs, ts, Xs, fixed, edges, self.cam,
+                                self.cfg.solver, two_phase=two_phase)
 
     # ------------------------------------------------------------------
     def cull_keyframes(self, smap: mapstore.SlamMap, current_kf: int) -> int:

@@ -296,9 +296,20 @@ class LoopCloser:
             valid=jnp.ones(len(ei), bool),
         )
         fixed = jnp.asarray(np.arange(n_kf) == loop_kf)
-        s_new, R_new, t_new, _ = pose_graph.optimize_essential_graph(
-            s_all, R_all, t_all, fixed, edges,
-            n_iters=self.cfg.solver.essential_graph_iters)
+        n_shards = self.cfg.mesh.model_parallel
+        if n_shards > 1 and len(jax.devices()) >= n_shards:
+            # keyframe-block-sharded edges + psum'd reduced system
+            # (parallel/dist_pose_graph.py, BASELINE config 5)
+            from ..parallel import dist_pose_graph
+            s_new, R_new, t_new, _ = \
+                dist_pose_graph.optimize_essential_graph_dist(
+                    s_all, R_all, t_all, fixed, edges,
+                    n_iters=self.cfg.solver.essential_graph_iters,
+                    n_shards=n_shards)
+        else:
+            s_new, R_new, t_new, _ = pose_graph.optimize_essential_graph(
+                s_all, R_all, t_all, fixed, edges,
+                n_iters=self.cfg.solver.essential_graph_iters)
 
         # re-map landmarks through their reference keyframes, then fold the
         # scale into SE3 translations (LoopClosing.cc:480-503)

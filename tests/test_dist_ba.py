@@ -27,7 +27,7 @@ def test_sharded_matches_reference_reduction(problem):
     p = problem
     mesh = dist_ba.make_mesh(8)
     prob = dist_ba.partition_problem(np.asarray(p["X0"]), p["edges"], 8)
-    Rs, ts, Xs = dist_ba.bundle_adjust_sharded(
+    Rs, ts, Xs, _ = dist_ba.bundle_adjust_sharded(
         mesh, p["Rs0"], p["ts0"], prob, p["fixed"], p["cam"],
         SolverConfig(), n_iters=12)
     X_flat = np.asarray(Xs).reshape(-1, 3)[: p["X0"].shape[0]]
@@ -62,8 +62,59 @@ def test_fixed_camera_untouched(problem):
     p = problem
     mesh = dist_ba.make_mesh(8)
     prob = dist_ba.partition_problem(np.asarray(p["X0"]), p["edges"], 8)
-    Rs, ts, _ = dist_ba.bundle_adjust_sharded(
+    Rs, ts, _, _ = dist_ba.bundle_adjust_sharded(
         mesh, p["Rs0"], p["ts0"], prob, p["fixed"], p["cam"],
         SolverConfig(), n_iters=6)
     np.testing.assert_allclose(np.asarray(Rs)[0], np.asarray(p["Rs0"])[0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(ts)[0], np.asarray(p["ts0"])[0], atol=1e-6)
+
+
+def test_dist_ba_is_the_pipelines_ba():
+    """With mesh.data_parallel > 1 the LIVE pipeline's local/global BA runs
+    through the landmark-sharded solver (VERDICT round-1 item 2), and the
+    resulting map agrees with a single-device run of the same sequence."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests") if "tests" not in sys.path else None
+    from synthetic_sequence import make_world, circular_trajectory, render_frame
+    from orb_slam_tpu.pipeline.tracker import Tracker, TrackState
+    from orb_slam_tpu.config import MeshConfig
+    from test_pipeline import small_config
+    from orb_slam_tpu.parallel import dist_ba as dist_mod
+
+    calls = {"n": 0}
+    orig = dist_mod.bundle_adjust_dist
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    def run(data_parallel):
+        rng = np.random.default_rng(11)
+        cfg = small_config().replace(mesh=MeshConfig(data_parallel=data_parallel))
+        X, desc = make_world(rng, n_points=900)
+        K = cfg.camera.K
+        tracker = Tracker.create(cfg)
+        for i, (R, t) in enumerate(circular_trajectory(26)):
+            feats, _ = render_frame(rng, X, desc, R, t, K)
+            tracker.process(feats, timestamp=i / 30.0)
+        return tracker
+
+    dist_mod.bundle_adjust_dist = spy
+    try:
+        t8 = run(8)
+    finally:
+        dist_mod.bundle_adjust_dist = orig
+    assert calls["n"] >= 2, "distributed BA was never invoked by the pipeline"
+    assert t8.state == TrackState.WORKING
+
+    t1 = run(1)
+    assert t1.state == TrackState.WORKING
+    # same sequence, same schedule: maps must agree in size and keyframe count
+    assert t8.slam_map.n_kf == t1.slam_map.n_kf
+    assert abs(t8.slam_map.n_mp - t1.slam_map.n_mp) <= 0.1 * t1.slam_map.n_mp
+    # trajectories agree (both tracked the same world through their own BA)
+    c8 = np.asarray([-r.R.T @ r.t for r in t8.trajectory if r.tracked])
+    c1 = np.asarray([-r.R.T @ r.t for r in t1.trajectory if r.tracked])
+    n = min(len(c8), len(c1))
+    assert np.linalg.norm(c8[:n] - c1[:n], axis=1).max() < 0.05

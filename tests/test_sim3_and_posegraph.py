@@ -139,3 +139,48 @@ def test_correct_points_consistency():
     Xc_old = sim3.transform(s_old[ref], R_old[ref], t_old[ref], P)
     Xc_new = sim3.transform(s_new[ref], R_new[ref], t_new[ref], P2)
     np.testing.assert_allclose(np.asarray(Xc_new), np.asarray(Xc_old), atol=1e-4)
+
+
+def test_pose_graph_sharded_matches_single():
+    """Keyframe-block-sharded essential graph (parallel/dist_pose_graph.py)
+    must produce the same poses as the single-device solver."""
+    from orb_slam_tpu.parallel import dist_pose_graph, dist_ba
+
+    n = 12
+    s_gt, R_gt, t_gt, rel = _ring_poses(n)
+    rng = np.random.default_rng(3)
+    s = [s_gt[0]]; R = [R_gt[0]]; t = [t_gt[0]]
+    for k in range(1, n):
+        sr, Rr, tr = rel[k - 1]
+        noise = sim3.exp(jnp.asarray(rng.normal(0, 0.02, 7)))
+        srn, Rrn, trn = sim3.compose(*noise, sr, Rr, tr)
+        sk, Rk, tk = sim3.compose(srn, Rrn, trn, s[-1], R[-1], t[-1])
+        s.append(sk); R.append(Rk); t.append(tk)
+    s0 = jnp.stack(s); R0 = jnp.stack(R); t0 = jnp.stack(t)
+
+    ei, ej, sm, Rm, tm = [], [], [], [], []
+    for k in range(1, n):
+        si_, Ri_, ti_ = s_gt[k], R_gt[k], t_gt[k]
+        inv = sim3.inverse(s_gt[k - 1], R_gt[k - 1], t_gt[k - 1])
+        m = sim3.compose(si_, Ri_, ti_, *inv)
+        ei.append(k); ej.append(k - 1)
+        sm.append(m[0]); Rm.append(m[1]); tm.append(m[2])
+    inv = sim3.inverse(s_gt[0], R_gt[0], t_gt[0])
+    m = sim3.compose(s_gt[n - 1], R_gt[n - 1], t_gt[n - 1], *inv)
+    ei.append(n - 1); ej.append(0)
+    sm.append(m[0]); Rm.append(m[1]); tm.append(m[2])
+
+    edges = pose_graph.Sim3Edges(
+        i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+        s_meas=jnp.stack(sm), R_meas=jnp.stack(Rm), t_meas=jnp.stack(tm),
+        valid=jnp.ones(len(ei), bool),
+    )
+    fixed = jnp.asarray(np.arange(n) == 0)
+    s1, R1, t1, _ = pose_graph.optimize_essential_graph(
+        s0, R0, t0, fixed, edges, n_iters=20)
+    s8, R8, t8, _ = dist_pose_graph.optimize_essential_graph_dist(
+        s0, R0, t0, fixed, edges, n_iters=20, n_shards=8)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
+                               atol=1e-4, rtol=1e-3)
