@@ -212,6 +212,7 @@ class LoopConfig:
     # when no file is given we train on the init frames with these params —
     # dense MXU scoring favors <= ~10^4 words, see place/vocabulary.py)
     vocab_path: str = ""                # optional ORBvoc.txt to load
+    vocab_use_prebuilt: bool = True     # use shipped data/vocab10k.npz
     vocab_branching: int = 8            # k when training in-situ
     vocab_depth: int = 3                # L when training in-situ
 

@@ -45,15 +45,22 @@ class LoopCloser:
     n_loops_closed: int = 0
 
     def ensure_vocabulary(self, descriptors: np.ndarray):
+        """Vocabulary priority (TemplatedVocabulary::loadFromTextFile role):
+        explicit ORBvoc.txt path > shipped pre-trained 10^4-word vocabulary
+        (data/vocab10k.npz) > in-situ training on the init frames (tiny
+        fallback for synthetic worlds)."""
         if self.voc is None:
             if self.cfg.loop.vocab_path:
                 self.voc = voc_mod.load_orbvoc_text(self.cfg.loop.vocab_path)
+            elif self.cfg.loop.vocab_use_prebuilt and \
+                    voc_mod.prebuilt() is not None:
+                self.voc = voc_mod.prebuilt()
             else:
                 self.voc = voc_mod.train(
                     descriptors, k=self.cfg.loop.vocab_branching,
                     depth=self.cfg.loop.vocab_depth)
             self.db = db_mod.BowDatabase.create(
-                self.cfg.map.max_keyframes, self.voc.n_words)
+                self.cfg.map.max_keyframes, self.cfg.extractor.max_keypoints)
 
     def add_keyframe(self, smap: mapstore.SlamMap, kf: int):
         st = smap.state

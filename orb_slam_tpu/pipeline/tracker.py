@@ -524,7 +524,8 @@ class Tracker:
             self.loop_closer.consistent_groups = []
             if self.loop_closer.voc is not None:
                 self.loop_closer.db = db_mod.BowDatabase.create(
-                    self.cfg.map.max_keyframes, self.loop_closer.voc.n_words)
+                    self.cfg.map.max_keyframes,
+                    self.cfg.extractor.max_keypoints)
 
     # ------------------------------------------------------------------
     def _track(self, fd, timestamp, metrics):

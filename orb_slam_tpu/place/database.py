@@ -1,9 +1,12 @@
 """Keyframe database: loop/relocalisation candidate retrieval.
 
 TPU-native replacement of KeyFrameDatabase (src/KeyFrameDatabase.cc).  The
-reference walks a word->keyframe inverted file; here the database is a dense
-[max_kf, n_words] TF-IDF matrix and every query is one matmul + masked
-reductions, preserving the reference's selection semantics:
+reference walks a word->keyframe inverted file; here the database stores one
+SparseBow row per keyframe ([max_kf, W] sorted word ids + weights, W =
+max keypoints per frame) and a query is a vmapped sorted-merge
+(`searchsorted`) against every row — O(max_kf * W log W) independent of the
+vocabulary size, so the same code serves a 512-word test vocab and a
+10^6-word ORBvoc.  Selection semantics preserved:
 
   DetectLoopCandidates (KeyFrameDatabase.cc:75-196):
     1. count shared words with every keyframe, excluding the query's
@@ -24,46 +27,51 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .vocabulary import Vocabulary, transform, score_l1
+from .vocabulary import SparseBow, score_l1_many
 
 
 class BowDatabase(NamedTuple):
-    rows: jnp.ndarray      # [max_kf, n_words] float32 L1-normalized TF-IDF
+    ids: jnp.ndarray       # [max_kf, W] int32 sorted word ids (pad = large)
+    w: jnp.ndarray         # [max_kf, W] float32 L1-normalized weights
     has_row: jnp.ndarray   # [max_kf] bool
 
     @staticmethod
-    def create(max_kf: int, n_words: int) -> "BowDatabase":
+    def create(max_kf: int, width: int) -> "BowDatabase":
         return BowDatabase(
-            rows=jnp.zeros((max_kf, n_words), jnp.float32),
+            ids=jnp.full((max_kf, width), jnp.int32(2**30), jnp.int32),
+            w=jnp.zeros((max_kf, width), jnp.float32),
             has_row=jnp.zeros(max_kf, bool),
         )
 
-    def add(self, kf_id: int, bow: jnp.ndarray) -> "BowDatabase":
+    def add(self, kf_id: int, bow: SparseBow) -> "BowDatabase":
         return BowDatabase(
-            rows=self.rows.at[kf_id].set(bow),
+            ids=self.ids.at[kf_id].set(bow.ids),
+            w=self.w.at[kf_id].set(bow.weights),
             has_row=self.has_row.at[kf_id].set(True),
         )
 
     def remove(self, kf_id: int) -> "BowDatabase":
         return BowDatabase(
-            rows=self.rows.at[kf_id].set(0.0),
+            ids=self.ids.at[kf_id].set(jnp.int32(2**30)),
+            w=self.w.at[kf_id].set(0.0),
             has_row=self.has_row.at[kf_id].set(False),
         )
 
+    def row(self, kf_id: int) -> SparseBow:
+        return SparseBow(ids=self.ids[kf_id], weights=self.w[kf_id])
+
 
 @jax.jit
-def query_scores(db: BowDatabase, bow: jnp.ndarray):
+def query_scores(db: BowDatabase, bow: SparseBow):
     """Returns (shared_word_counts [K], l1_scores [K]) vs every keyframe."""
-    present = db.rows > 0
-    q = bow > 0
-    shared = jnp.sum(present & q[None, :], axis=1)
-    scores = score_l1(bow[None, :], db.rows)
-    return shared * db.has_row, jnp.where(db.has_row, scores, -1.0)
+    scores, shared = score_l1_many(bow, db.ids, db.w)
+    return (shared * db.has_row,
+            jnp.where(db.has_row, scores, -1.0))
 
 
 def detect_candidates(
     db: BowDatabase,
-    bow: jnp.ndarray,
+    bow: SparseBow,
     exclude: np.ndarray,
     covis_weights: np.ndarray,
     min_score: float | None,

@@ -6,28 +6,36 @@ Design differences (deliberate, SURVEY.md §2.2):
     packed-u32 centroid descriptors) and the descent for ALL N descriptors
     of a frame runs level-synchronously: one gather + one batched Hamming
     argmin per level — no pointer chasing;
-  * BoW vectors are DENSE [n_words] TF-IDF rows (L1-normalized).  With the
-    default 10^4-word vocabulary a keyframe row is 40 KB, the whole
-    keyframe database is a [max_kf, n_words] matrix, and every similarity
-    query in KeyFrameDatabase becomes one MXU matmul — replacing DBoW2's
-    inverted-file walk (the inverted file exists to make sparse CPU scoring
-    cheap; a dense matmul is faster on TPU at these sizes);
+  * BoW vectors are SPARSE fixed-width rows: a frame has at most
+    `max_keypoints` distinct words, so a BoW is a sorted (word_id, weight)
+    pair of [W] arrays (pad id = n_words, pad weight = 0), L1-normalized.
+    Scoring two vectors is a sorted-merge via `searchsorted` — O(W log W)
+    independent of vocabulary size, so a 10^4..10^6-word vocabulary costs
+    the same per query as a toy one.  This replaces both DBoW2's
+    inverted-file walk and round 1's dense [max_kf, n_words] matrix (which
+    self-capped at ~10^4 words);
   * DBoW2's FeatureVector (node-id pairing at levelsup=4, used to restrict
     CPU matching) is unnecessary: the matchers compare all pairs on the VPU.
 
 The reference ships a 10^6-word vocabulary (k=10, L=6) whose blob is absent
 from this snapshot (.MISSING_LARGE_BLOBS).  This module trains a vocabulary
-from data (hierarchical binary k-medians, same construction as DBoW2) and
-also reads the standard ORBvoc.txt format (TemplatedVocabulary.h:1338) if a
-file is provided.
+from data (hierarchical binary k-medians + TF-IDF weighting, the same
+construction as TemplatedVocabulary::create + setNodeWeights), reads AND
+writes the standard ORBvoc.txt format (TemplatedVocabulary.h:1338), and
+ships a pre-trained 10^4-word vocabulary (data/vocab10k.npz, built by
+scripts/train_vocabulary.py from rendered imagery through the real ORB
+front end).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
 
 class Vocabulary(NamedTuple):
@@ -36,14 +44,28 @@ class Vocabulary(NamedTuple):
     children: jnp.ndarray   # [n_nodes, k] int32 child node ids (-1 = none)
     node_desc: jnp.ndarray  # [n_nodes, 8] uint32 centroid descriptors
     word_id: jnp.ndarray    # [n_nodes] int32 leaf word id (-1 internal)
-    weights: jnp.ndarray    # [n_words] float32 IDF weights
+    weights: jnp.ndarray    # [n_words + 1] float32 IDF weights (pad slot 0)
     k: int
     depth: int
     n_words: int
 
 
+class SparseBow(NamedTuple):
+    """L1-normalized TF-IDF vector as sorted (word id, weight) pairs.
+
+    ids: [W] int32 ascending; padding uses id = n_words (weight 0).
+    weights: [W] float32, sums to 1 over real entries (0 if frame empty).
+    """
+
+    ids: jnp.ndarray
+    weights: jnp.ndarray
+
+
 def _popcount_rows(x: np.ndarray) -> np.ndarray:
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    """Hamming weight over the last (packed-u32) axis via a byte LUT —
+    no 8x unpackbits blow-up, so k-medians scales to 10^5+ descriptors."""
+    b = np.ascontiguousarray(x).view(np.uint8)
+    return _POP8[b].reshape(*x.shape[:-1], -1).sum(-1)
 
 
 def _majority_center(desc: np.ndarray) -> np.ndarray:
@@ -68,16 +90,18 @@ def _kmedians(desc: np.ndarray, k: int, rng, iters: int = 8) -> np.ndarray:
 
 
 def train(descriptors: np.ndarray, k: int = 10, depth: int = 4,
-          seed: int = 0) -> Vocabulary:
+          seed: int = 0, doc_ids: Optional[np.ndarray] = None) -> Vocabulary:
     """Hierarchical binary k-medians (TemplatedVocabulary::create semantics).
 
     descriptors: [M, 8] uint32.  Default k=10, depth=4 -> up to 10^4 words.
+    doc_ids: optional [M] int document (image) index per descriptor; when
+    given, word weights are the TF-IDF idf = log(N_docs / N_docs_with_word)
+    of setNodeWeights (TemplatedVocabulary.h:315-364); otherwise uniform.
     """
     rng = np.random.default_rng(seed)
     max_nodes = sum(k**l for l in range(depth + 1))
     children = np.full((max_nodes, k), -1, np.int32)
     node_desc = np.zeros((max_nodes, 8), np.uint32)
-    level_of = np.zeros(max_nodes, np.int32)
     n_nodes = 1  # root = 0
 
     # BFS split
@@ -99,7 +123,6 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 4,
             n_nodes += 1
             children[node, c] = cid
             node_desc[cid] = centers[c]
-            level_of[cid] = level + 1
             queue.append((cid, data[sel], level + 1))
 
     word_id = np.full(max_nodes, -1, np.int32)
@@ -107,26 +130,51 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 4,
         word_id[leaf] = w
     n_words = len(leaves)
 
-    # uniform IDF weights (DBoW2 TF_IDF with uniform corpus; refined by
-    # the database as keyframes arrive is possible — reference keeps the
-    # training-corpus IDF, so do we)
-    weights = np.ones(n_words, np.float32)
+    if doc_ids is not None:
+        # idf from the training corpus (TF_IDF, TemplatedVocabulary.h:340)
+        words = _descend_np(children[:n_nodes], node_desc[:n_nodes],
+                            word_id[:n_nodes], depth, descriptors)
+        doc_ids = np.asarray(doc_ids)
+        n_docs = int(doc_ids.max()) + 1
+        seen = np.zeros((n_words,), np.int64)
+        for d in range(n_docs):
+            ws = np.unique(words[doc_ids == d])
+            seen[ws[ws >= 0]] += 1
+        weights = np.where(
+            seen > 0, np.log(n_docs / np.maximum(seen, 1)), 0.0
+        ).astype(np.float32)
+        # words never seen score 0 like DBoW2's Ni==0 case; fully common
+        # words (idf 0) keep an epsilon so they still count as shared
+        weights = np.where((seen > 0) & (weights <= 0), 1e-3, weights)
+    else:
+        weights = np.ones(n_words, np.float32)
 
     return Vocabulary(
         children=jnp.asarray(children[:n_nodes]),
         node_desc=jnp.asarray(node_desc[:n_nodes]),
         word_id=jnp.asarray(word_id[:n_nodes]),
-        weights=jnp.asarray(weights),
+        weights=jnp.asarray(np.concatenate([weights, [0.0]]).astype(np.float32)),
         k=k, depth=depth, n_words=n_words,
     )
 
 
-def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray
-              ) -> jnp.ndarray:
-    """Descriptors [N, 8] uint32 -> dense L1-normalized TF-IDF BoW [n_words].
+def _descend_np(children, node_desc, word_id, depth, desc: np.ndarray):
+    """Host-side batched tree descent (training/IO paths)."""
+    node = np.zeros(len(desc), np.int32)
+    for _ in range(depth):
+        ch = children[node]                               # [N, k]
+        cd = node_desc[np.clip(ch, 0, None)]              # [N, k, 8]
+        dist = _popcount_rows(desc[:, None, :] ^ cd)
+        dist = np.where(ch >= 0, dist, 1 << 20)
+        best = dist.argmin(1)
+        nxt = ch[np.arange(len(desc)), best]
+        node = np.where(nxt >= 0, nxt, node)
+    return word_id[node]
 
-    Batched level-synchronous tree descent (replaces the per-descriptor
-    recursive descent of TemplatedVocabulary::transform)."""
+
+def transform_words(voc: Vocabulary, desc: jnp.ndarray) -> jnp.ndarray:
+    """Descriptors [N, 8] uint32 -> word ids [N] int32 (-1 never occurs:
+    childless interior nodes map to their own word or stay put)."""
     n = desc.shape[0]
     node = jnp.zeros(n, jnp.int32)
     for _ in range(voc.depth):
@@ -139,24 +187,80 @@ def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray
         nxt = ch[jnp.arange(n), best]
         # descriptors stuck at a childless node stay there (short branch)
         node = jnp.where(nxt >= 0, nxt, node)
-    words = voc.word_id[node]                          # [N]
-    words = jnp.where(valid & (words >= 0), words, voc.n_words)
-    vec = jnp.zeros(voc.n_words + 1, jnp.float32).at[words].add(1.0)
-    vec = vec[: voc.n_words] * voc.weights
-    s = jnp.sum(vec)
-    return vec / jnp.maximum(s, 1e-9)
+    return voc.word_id[node]
 
 
-def score_l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """DBoW2 L1 score in [0, 1]: 1 - 0.5 * |a - b|_1 for L1-normalized
-    vectors (ScoringObject.cpp L1Scoring), batched over leading dims of b."""
-    return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
+def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray
+              ) -> SparseBow:
+    """Descriptors [N, 8] uint32 -> SparseBow of width N.
 
+    Batched level-synchronous tree descent, then in-program dedup: sort the
+    word ids, keep the first occurrence of each, weight = count * idf,
+    L1-normalize (TemplatedVocabulary::transform + BowVector::normalize)."""
+    n = desc.shape[0]
+    pad = jnp.int32(voc.n_words)
+    words = transform_words(voc, desc)
+    words = jnp.where(valid & (words >= 0), words, pad)
+
+    counts = jnp.zeros(voc.n_words + 1, jnp.float32).at[words].add(1.0)
+    sw = jnp.sort(words)                                   # [N] ascending
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), sw[1:] != sw[:-1]]) & (sw < pad)
+    ids = jnp.where(first, sw, pad)
+    w = jnp.where(first, counts[ids] * voc.weights[ids], 0.0)
+    # push dup slots (now pad) behind real entries, keeping weight pairing
+    order = jnp.argsort(ids)
+    ids = ids[order]
+    w = w[order]
+    s = jnp.sum(w)
+    return SparseBow(ids=ids.astype(jnp.int32), weights=w / jnp.maximum(s, 1e-9))
+
+
+def _merge(ai, aw, bi, bw):
+    """Align b's entries onto a's id slots via sorted-merge (searchsorted).
+    Returns (a weights, b weights) restricted to the common-word support —
+    zeros elsewhere — so any L-p intersection sum is a masked reduction."""
+    W = bi.shape[0]
+    idx = jnp.clip(jnp.searchsorted(bi, ai), 0, W - 1)
+    hit = (bi[idx] == ai) & (aw > 0)
+    bwm = jnp.where(hit, bw[idx], 0.0)
+    awm = jnp.where(bwm > 0, aw, 0.0)
+    return awm, bwm
+
+
+def score_l1(a: SparseBow, b: SparseBow) -> jnp.ndarray:
+    """DBoW2 L1 score in [0, 1] for L1-normalized vectors
+    (ScoringObject.cpp L1Scoring): 1 - 0.5|a-b|_1, computed over the sparse
+    intersection: sum over common words of (a_i + b_i - |a_i - b_i|) / 2."""
+    aw, bw = _merge(a.ids, a.weights, b.ids, b.weights)
+    return jnp.sum(0.5 * (aw + bw - jnp.abs(aw - bw)))
+
+
+def score_l1_many(a: SparseBow, ids: jnp.ndarray, w: jnp.ndarray):
+    """Score `a` against stacked sparse rows ids/w [K, W].  Returns
+    (scores [K], shared word counts [K])."""
+    def one(bi, bw):
+        aw, bwm = _merge(a.ids, a.weights, bi, bw)
+        sc = jnp.sum(0.5 * (aw + bwm - jnp.abs(aw - bwm)))
+        shared = jnp.sum(bwm > 0)
+        return sc, shared
+    return jax.vmap(one)(ids, w)
+
+
+def densify(voc: Vocabulary, bow: SparseBow) -> jnp.ndarray:
+    """[n_words] dense vector (tests / small-vocab diagnostics)."""
+    vec = jnp.zeros(voc.n_words + 1, jnp.float32)
+    return vec.at[bow.ids].add(bow.weights)[: voc.n_words]
+
+
+# ----------------------------------------------------------------------
+# IO: ORBvoc.txt (DBoW2 text format) + fast npz
+# ----------------------------------------------------------------------
 
 def load_orbvoc_text(path: str) -> Vocabulary:
     """Read the standard ORBvoc.txt format (TemplatedVocabulary.h:1338):
     header `k L scoring weighting`, then one node per line:
-    `parent_is_leaf? descriptor(32 bytes) weight` in tree order."""
+    `parent_id is_leaf? descriptor(32 bytes) weight` in tree order."""
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])
@@ -191,6 +295,76 @@ def load_orbvoc_text(path: str) -> Vocabulary:
         children=jnp.asarray(children),
         node_desc=jnp.asarray(node_desc),
         word_id=jnp.asarray(word_id),
-        weights=jnp.asarray(np.asarray(weights, np.float32)),
+        weights=jnp.asarray(
+            np.concatenate([np.asarray(weights, np.float32), [0.0]])),
         k=k, depth=L, n_words=len(weights),
     )
+
+
+def save_orbvoc_text(voc: Vocabulary, path: str) -> None:
+    """Write the DBoW2 text format (inverse of load_orbvoc_text).  Nodes are
+    emitted in BFS order so every parent precedes its children; word ids are
+    renumbered in emission order (scores are invariant to word relabeling)."""
+    children = np.asarray(voc.children)
+    node_desc = np.asarray(voc.node_desc)
+    word_id = np.asarray(voc.word_id)
+    weights = np.asarray(voc.weights)
+
+    new_id = {0: 0}
+    queue = [0]
+    order = []
+    while queue:
+        node = queue.pop(0)
+        order.append(node)
+        for c in children[node]:
+            if c >= 0:
+                new_id[int(c)] = len(new_id)
+                queue.append(int(c))
+    parent_of = np.full(len(children), -1, np.int64)
+    for n in range(len(children)):
+        for c in children[n]:
+            if c >= 0:
+                parent_of[c] = n
+
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.depth} 0 0\n")
+        for node in order[1:]:
+            is_leaf = int(word_id[node] >= 0)
+            d = node_desc[node].view(np.uint8)
+            w = float(weights[word_id[node]]) if is_leaf else 0.0
+            f.write(f"{new_id[int(parent_of[node])]} {is_leaf} "
+                    + " ".join(str(int(x)) for x in d)
+                    + f" {w:.6f}\n")
+
+
+def save_npz(voc: Vocabulary, path: str) -> None:
+    np.savez_compressed(
+        path, children=np.asarray(voc.children),
+        node_desc=np.asarray(voc.node_desc),
+        word_id=np.asarray(voc.word_id), weights=np.asarray(voc.weights),
+        meta=np.asarray([voc.k, voc.depth, voc.n_words]))
+
+
+def load_npz(path: str) -> Vocabulary:
+    z = np.load(path)
+    k, depth, n_words = (int(x) for x in z["meta"])
+    return Vocabulary(
+        children=jnp.asarray(z["children"]),
+        node_desc=jnp.asarray(z["node_desc"]),
+        word_id=jnp.asarray(z["word_id"]),
+        weights=jnp.asarray(z["weights"]),
+        k=k, depth=depth, n_words=n_words)
+
+
+_PREBUILT_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "data", "vocab10k.npz")
+_prebuilt_cache: Optional[Vocabulary] = None
+
+
+def prebuilt() -> Optional[Vocabulary]:
+    """The shipped 10^4-word vocabulary (scripts/train_vocabulary.py), or
+    None if the data file is absent."""
+    global _prebuilt_cache
+    if _prebuilt_cache is None and os.path.exists(_PREBUILT_PATH):
+        _prebuilt_cache = load_npz(_PREBUILT_PATH)
+    return _prebuilt_cache

@@ -1,0 +1,81 @@
+"""Build the shipped pre-trained vocabulary (data/vocab10k.npz).
+
+The reference ships a 10^6-word ORBvoc trained on real imagery
+(Thirdparty/DBoW2; blob absent from this snapshot).  This script builds the
+TPU framework's stand-in: it renders many synthetic patch-world images,
+runs them through the REAL ORB front end (FAST + IC-angle + steered BRIEF),
+and trains a k=10 / depth=4 (~10^4-word) tree with TF-IDF weights from the
+per-image document structure.  Descriptors therefore carry the front end's
+actual bit correlations, not uniform random bits.
+
+Usage:  python scripts/train_vocabulary.py [--images 80] [--out PATH]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=80)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "orb_slam_tpu", "data",
+        "vocab10k.npz"))
+    args = ap.parse_args()
+
+    from orb_slam_tpu.config import ExtractorConfig
+    from orb_slam_tpu.frontend.extractor import extract_default
+    from orb_slam_tpu.place import vocabulary as voc_mod
+
+    ecfg = ExtractorConfig(n_features=1000, max_keypoints=1024, n_levels=8)
+    rng = np.random.default_rng(0)
+
+    descs, doc_ids = [], []
+    t0 = time.time()
+    for i in range(args.images):
+        # fresh patch world per image: textured squares, gradients, noise
+        img = np.full((480, 640), 90.0, np.float32)
+        n_pat = rng.integers(120, 260)
+        for _ in range(n_pat):
+            y = rng.integers(6, 466)
+            x = rng.integers(6, 626)
+            s = rng.integers(5, 15)
+            img[y:y + s, x:x + s] = rng.uniform(0, 255, (s, s))
+        img += rng.normal(0, 2.5, img.shape)
+        feats = extract_default(jnp.asarray(img), ecfg)
+        valid = np.asarray(feats.valid)
+        d = np.asarray(feats.desc)[valid]
+        descs.append(d)
+        doc_ids.append(np.full(len(d), i))
+        if (i + 1) % 10 == 0:
+            print(f"  extracted {i + 1}/{args.images} images "
+                  f"({sum(len(x) for x in descs)} descriptors, "
+                  f"{time.time() - t0:.0f}s)")
+
+    corpus = np.concatenate(descs)
+    doc = np.concatenate(doc_ids)
+    print(f"training k={args.k} depth={args.depth} on {len(corpus)} "
+          f"descriptors from {args.images} images ...")
+    t0 = time.time()
+    voc = voc_mod.train(corpus, k=args.k, depth=args.depth, doc_ids=doc)
+    print(f"trained {voc.n_words} words in {time.time() - t0:.0f}s")
+
+    voc_mod.save_npz(voc, args.out)
+    sz = os.path.getsize(args.out) / 1e6
+    print(f"saved {args.out} ({sz:.2f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,5 +37,5 @@ def test_load_orbvoc_text(tmp_path, rng):
     # in a word deterministically
     d = jnp.asarray(descs[3].astype(np.uint8).copy().view(np.uint32)[None, :])
     bow = voc_mod.transform(voc, d, jnp.ones(1, bool))
-    assert float(bow.sum()) > 0.99
-    assert int((bow > 0).sum()) == 1
+    assert float(bow.weights.sum()) > 0.99
+    assert int((bow.weights > 0).sum()) == 1

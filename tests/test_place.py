@@ -23,8 +23,16 @@ def test_train_and_transform(rng):
     assert voc.n_words > 100
     d = jnp.asarray(rand_desc(rng, 64))
     bow = voc_mod.transform(voc, d, jnp.ones(64, bool))
-    assert bow.shape == (voc.n_words,)
-    np.testing.assert_allclose(float(bow.sum()), 1.0, atol=1e-5)
+    assert bow.ids.shape == (64,) and bow.weights.shape == (64,)
+    np.testing.assert_allclose(float(bow.weights.sum()), 1.0, atol=1e-5)
+    # ids sorted ascending, no duplicate real words
+    ids = np.asarray(bow.ids)
+    assert np.all(np.diff(ids) >= 0)
+    real = ids[ids < voc.n_words]
+    assert len(np.unique(real)) == len(real)
+    # dense reconstruction agrees with weights
+    dense = np.asarray(voc_mod.densify(voc, bow))
+    np.testing.assert_allclose(dense.sum(), 1.0, atol=1e-5)
 
 
 def test_same_image_scores_highest(rng):
@@ -46,7 +54,7 @@ def test_detect_candidates_loop(rng):
     corpus = rand_desc(rng, 4000)
     voc = voc_mod.train(corpus, k=8, depth=3)
     K = 12
-    db = db_mod.BowDatabase.create(K, voc.n_words)
+    db = db_mod.BowDatabase.create(K, 150)
     scenes = [rand_desc(rng, 150) for _ in range(10)]
     for k in range(10):
         bow = voc_mod.transform(voc, jnp.asarray(scenes[k]), jnp.ones(150, bool))
@@ -65,7 +73,7 @@ def test_reloc_candidates_no_exclusion(rng):
     corpus = rand_desc(rng, 4000)
     voc = voc_mod.train(corpus, k=8, depth=3)
     K = 8
-    db = db_mod.BowDatabase.create(K, voc.n_words)
+    db = db_mod.BowDatabase.create(K, 120)
     scenes = [rand_desc(rng, 120) for _ in range(5)]
     for k in range(5):
         db = db.add(k, voc_mod.transform(voc, jnp.asarray(scenes[k]),
@@ -80,7 +88,7 @@ def test_reloc_candidates_no_exclusion(rng):
 def test_empty_database(rng):
     corpus = rand_desc(rng, 2000)
     voc = voc_mod.train(corpus, k=8, depth=3)
-    db = db_mod.BowDatabase.create(4, voc.n_words)
+    db = db_mod.BowDatabase.create(4, 50)
     bq = voc_mod.transform(voc, jnp.asarray(rand_desc(rng, 50)),
                            jnp.ones(50, bool))
     cands = db_mod.detect_candidates(
