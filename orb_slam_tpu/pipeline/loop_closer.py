@@ -260,42 +260,143 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _correct(self, smap: mapstore.SlamMap, kf: int, loop_kf: int, g12):
+        """CorrectLoop in the reference's order (LoopClosing.cc:408-570):
+
+        1. propagate the corrected Sim3 to the current covisibility group
+           and correct the group's landmarks (:425-479, CorrectedSim3 /
+           NonCorrectedSim3 maps);
+        2. SearchAndFuse the loop-side landmarks into the corrected group
+           (:505-527) and collect the NEW covisibility links the fusion
+           created — the LoopConnections (:529-546);
+        3. essential-graph optimization seeded with the corrected poses,
+           edges measured from the pre-correction estimates (:548), then
+           re-map every landmark through its (possibly propagated)
+           reference pose (Optimizer.cc:746-779).
+        """
         st = smap.state
-        K_cap = self.cfg.map.max_keyframes
         n_kf = smap.n_kf
         P = self.cfg.map.max_points
 
-        # current keyframe Sim3 states (s=1 embeddings of SE3)
-        s_all = jnp.ones(n_kf)
-        R_all = st.kf_R[:n_kf]
-        t_all = st.kf_t[:n_kf]
-
-        # edge list: spanning tree + strong covisibility + old loop edges +
-        # the new loop edge, measured with pre-correction relative poses
+        # pre-correction snapshot (NonCorrectedSim3; s=1 embeddings of SE3)
+        s_snap = np.ones(n_kf, np.float32)
+        R_snap = np.asarray(st.kf_R[:n_kf])
+        t_snap = np.asarray(st.kf_t[:n_kf])
         covis = np.asarray(mapstore.covisibility_matrix(st, P))[:n_kf, :n_kf]
+
+        # ---- 1. propagation to the current group --------------------------
+        gs, gR, gt = g12
+        # S_kf_corrected = g12 o S_loop  (mg2oScw = gScm * Smw)
+        s_kfc, R_kfc, t_kfc = sim3.compose(
+            gs, gR, gt, jnp.float32(1.0),
+            jnp.asarray(R_snap[loop_kf]), jnp.asarray(t_snap[loop_kf]))
+        group = [kf] + [int(g) for g in np.where(covis[kf] > 0)[0]
+                        if g != kf]
+        s_corr = np.ones(n_kf, np.float32)
+        R_corr = R_snap.copy()
+        t_corr = t_snap.copy()
+        for i in group:
+            if i == kf:
+                si, Ri, ti = s_kfc, R_kfc, t_kfc
+            else:
+                # CorrectedSiw = (Siw o Swk) o S_kf_corrected
+                inv = sim3.inverse(jnp.float32(1.0),
+                                   jnp.asarray(R_snap[kf]),
+                                   jnp.asarray(t_snap[kf]))
+                sik, Rik, tik = sim3.compose(
+                    jnp.float32(1.0), jnp.asarray(R_snap[i]),
+                    jnp.asarray(t_snap[i]), *inv)
+                si, Ri, ti = sim3.compose(sik, Rik, tik, s_kfc, R_kfc, t_kfc)
+            s_corr[i] = float(si)
+            R_corr[i] = np.asarray(Ri)
+            t_corr[i] = np.asarray(ti)
+
+        # each group-observed landmark is corrected once, by its first
+        # observing group member (mnCorrectedByKF, LoopClosing.cc:443-461)
+        corrected_by = np.full(self.cfg.map.max_points, -1, np.int32)
+        obs = np.asarray(st.kf_obs)
+        for i in group:
+            pid = obs[i]
+            pid = pid[pid >= 0]
+            fresh = pid[corrected_by[pid] < 0]
+            corrected_by[fresh] = i
+        touched = corrected_by >= 0
+        ref_prop = jnp.asarray(np.where(touched, corrected_by, 0))
+        prop_pos = pose_graph.correct_points(
+            st.mp_pos, ref_prop,
+            jnp.asarray(s_snap), jnp.asarray(R_snap), jnp.asarray(t_snap),
+            jnp.asarray(s_corr), jnp.asarray(R_corr), jnp.asarray(t_corr))
+        mask = jnp.asarray(touched) & st.mp_valid
+        new_pos = jnp.where(mask[:, None], prop_pos, st.mp_pos)
+
+        # write the propagated poses (scale folded: Tiw = [R, t/s],
+        # LoopClosing.cc:470-477) so the fusion projects with them
+        R_se3, t_se3 = sim3.to_se3(
+            jnp.asarray(s_corr), jnp.asarray(R_corr), jnp.asarray(t_corr))
+        smap.state = st._replace(
+            kf_R=st.kf_R.at[:n_kf].set(se3.orthonormalize(R_se3)),
+            kf_t=st.kf_t.at[:n_kf].set(t_se3),
+            mp_pos=new_pos,
+        )
+
+        # ---- 2. fuse across the loop, then collect LoopConnections --------
+        self._search_and_fuse(smap, kf, loop_kf)
+        st = smap.state
+        covis_after = np.asarray(
+            mapstore.covisibility_matrix(st, P))[:n_kf, :n_kf]
+        strong_th = self.cfg.loop.covisibility_weight_strong
+        loop_pairs = set()
+        group_set = set(group)
+        for i in group:
+            before = set(np.where(covis[i] > 0)[0].tolist())
+            now = np.where(covis_after[i] >= strong_th)[0]
+            for j in now:
+                j = int(j)
+                if j != i and j not in group_set and j not in before:
+                    loop_pairs.add((i, j))
+
+        # ---- 3. essential graph -------------------------------------------
+        # vertices seeded with the propagated Sim3 (scale kept) for the
+        # group, the snapshot pose elsewhere (Optimizer.cc:567-597)
+        s_all = jnp.asarray(s_corr)
+        R_all = jnp.asarray(R_corr)
+        t_all = jnp.asarray(t_corr)
+
+        # graph edges (spanning tree + strong covisibility + old loop
+        # edges) measured from the PRE-correction snapshot
         pairs = set()
         for k in range(1, n_kf):
             p = int(smap.parent[k])
             if p >= 0:
                 pairs.add((min(k, p), max(k, p)))
-        strong = np.argwhere(covis >= self.cfg.loop.covisibility_weight_strong)
+        strong = np.argwhere(covis >= strong_th)
         for a, b in strong:
             if a < b:
                 pairs.add((int(a), int(b)))
         for a, b in smap.loop_edges:
             pairs.add((min(a, b), max(a, b)))
 
+        def rel(a, b, s, R, t):
+            # Shat_ab = S_a o S_b^-1
+            inv = sim3.inverse(s[b], jnp.asarray(R[b]), jnp.asarray(t[b]))
+            return sim3.compose(s[a], jnp.asarray(R[a]), jnp.asarray(t[a]),
+                                *inv)
+
         ei, ej, sm, Rm, tm = [], [], [], [], []
+        s_snap_j = jnp.asarray(s_snap)
         for a, b in sorted(pairs):
-            # Shat_ab = S_a o S_b^-1 from current estimates
-            inv = sim3.inverse(s_all[b], R_all[b], t_all[b])
-            meas = sim3.compose(s_all[a], R_all[a], t_all[a], *inv)
+            meas = rel(a, b, s_snap_j, R_snap, t_snap)
+            ei.append(a); ej.append(b)
+            sm.append(meas[0]); Rm.append(meas[1]); tm.append(meas[2])
+        # LoopConnections measured from the CORRECTED poses
+        # (Optimizer.cc:604-631 uses vScw, i.e. CorrectedSim3 for the group)
+        for a, b in sorted(loop_pairs):
+            meas = rel(a, b, s_all, np.asarray(R_all), np.asarray(t_all))
             ei.append(a); ej.append(b)
             sm.append(meas[0]); Rm.append(meas[1]); tm.append(meas[2])
         # the new loop edge: S_kf_corrected o S_loop^-1 = g12
-        gs, gR, gt = g12
         ei.append(kf); ej.append(loop_kf)
-        sm.append(gs); Rm.append(gR); tm.append(gt)
+        sm.append(jnp.asarray(gs)); Rm.append(jnp.asarray(gR))
+        tm.append(jnp.asarray(gt))
 
         edges = pose_graph.Sim3Edges(
             i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
@@ -318,22 +419,30 @@ class LoopCloser:
                 s_all, R_all, t_all, fixed, edges,
                 n_iters=self.cfg.solver.essential_graph_iters)
 
-        # re-map landmarks through their reference keyframes, then fold the
-        # scale into SE3 translations (LoopClosing.cc:480-503)
-        ref = jnp.clip(st.mp_ref_kf, 0, n_kf - 1)
-        new_pos = pose_graph.correct_points(
-            st.mp_pos, ref, s_all, R_all, t_all, s_new, R_new, t_new)
+        # re-map landmarks through their reference keyframes: points the
+        # propagation corrected use their correcting member's PROPAGATED
+        # pose as "old" (mnCorrectedReference, Optimizer.cc:752-767), the
+        # rest their reference keyframe's snapshot pose
+        ref_kf_pt = np.asarray(jnp.clip(st.mp_ref_kf, 0, n_kf - 1))
+        ref = jnp.asarray(np.where(touched, corrected_by, ref_kf_pt))
+        s_old = jnp.where(jnp.asarray(touched),
+                          jnp.asarray(s_corr)[ref], s_snap_j[ref])
+        R_old = jnp.where(jnp.asarray(touched)[:, None, None],
+                          jnp.asarray(R_corr)[ref], jnp.asarray(R_snap)[ref])
+        t_old = jnp.where(jnp.asarray(touched)[:, None],
+                          jnp.asarray(t_corr)[ref], jnp.asarray(t_snap)[ref])
+        Xc = sim3.transform(s_old, R_old, t_old, st.mp_pos)
+        sni, Rni, tni = sim3.inverse(s_new[ref], R_new[ref], t_new[ref])
+        new_pos = sim3.transform(sni, Rni, tni, Xc)
         new_pos = jnp.where(st.mp_valid[:, None], new_pos, st.mp_pos)
-        R_se3, t_se3 = sim3.to_se3(s_new, R_new, t_new)
-        R_se3 = se3.orthonormalize(R_se3)
 
+        R_se3, t_se3 = sim3.to_se3(s_new, R_new, t_new)
         smap.state = st._replace(
-            kf_R=st.kf_R.at[:n_kf].set(R_se3),
+            kf_R=st.kf_R.at[:n_kf].set(se3.orthonormalize(R_se3)),
             kf_t=st.kf_t.at[:n_kf].set(t_se3),
             mp_pos=new_pos,
         )
         smap.loop_edges.append((kf, loop_kf))
-        self._search_and_fuse(smap, kf, loop_kf)
 
     def _search_and_fuse(self, smap: mapstore.SlamMap, kf: int, loop_kf: int):
         """SearchAndFuse (LoopClosing.cc:505-527, :572-586): after the
