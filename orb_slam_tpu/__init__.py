@@ -14,4 +14,30 @@ relocalisation and loop closing — redesigned TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (jax-native, content-addressed).
+
+    Cold compiles through the tunneled-TPU toolchain run tens of seconds to
+    minutes per program; the staged tracking paths (init, reloc, mapping)
+    comprise dozens of programs.  Caching them on disk makes every process
+    after the first start warm — including the driver's bench run.  Honors
+    JAX_COMPILATION_CACHE_DIR if the user already set one."""
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "ORB_SLAM_TPU_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:  # pragma: no cover — never block import on cache setup
+        pass
+
+
+_enable_compilation_cache()
+
 from .config import SystemConfig  # noqa: F401

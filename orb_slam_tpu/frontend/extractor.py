@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ExtractorConfig
-from ..ops import detect, fast, patches, brief
+from ..ops import detect, fast, patches, brief, resize
 
 
 class FrameFeatures(NamedTuple):
@@ -69,7 +69,10 @@ def _extract_impl(image: jnp.ndarray, cfg: ExtractorConfig, n_features: int,
     img_l = image.astype(jnp.float32)
     for l, (lh, lw) in enumerate(shapes):
         if l > 0:
-            img_l = jax.image.resize(image, (lh, lw), method="linear")
+            # integer intensities mirror the reference's 8-bit pyramid
+            # (cv::resize, ORBextractor.cc:781-822)
+            img_l = jnp.round(
+                resize.resize_bilinear(image.astype(jnp.float32), lh, lw))
         score = fast.fast_score(img_l, float(cfg.fast_threshold_min))
         if cfg.score_harris:
             # re-score FAST corners with Harris response (nScoreType=0 path,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ExtractorConfig
-from ..ops import detect, fast, patches, brief
+from ..ops import detect, fast, patches, brief, resize
 from .extractor import FrameFeatures, level_shapes, level_quotas
 
 
@@ -33,16 +33,45 @@ def _pad_shape(h, w, tile_rows=48):
     return (-(-h // tile_rows) * tile_rows, -(-w // 128) * 128)
 
 
+_RESIZE_MATS: dict = {}
+
+
+def _resize_mats(shapes, tile_rows=48):
+    """Per-level row/column resize matrices, zero-padded to the padded
+    stack shape ([L, H0, H] and [L, W0, W]) so resize + zero padding of
+    every level is two batched matmuls."""
+    key = (tuple(shapes), tile_rows)
+    hit = _RESIZE_MATS.get(key)
+    if hit is not None:
+        return hit
+    H, W = shapes[0]
+    H0, W0 = _pad_shape(H, W, tile_rows)
+    L = len(shapes)
+    Ay = np.zeros((L, H0, H), np.float32)
+    Ax = np.zeros((L, W0, W), np.float32)
+    for li, (lh, lw) in enumerate(shapes):
+        Ay[li, :lh] = resize.resize_matrix(H, lh)
+        Ax[li, :lw] = resize.resize_matrix(W, lw)
+    _RESIZE_MATS[key] = (Ay, Ax)
+    return Ay, Ax
+
+
 def _build_stack(image, shapes, tile_rows=48):
     """[L, Hp, Wp] stack: each level resized then zero-padded (padded dims
-    rounded up for the Pallas kernel's tiling)."""
-    H0, W0 = _pad_shape(*shapes[0], tile_rows)
-    levels = []
-    for li, (lh, lw) in enumerate(shapes):
-        lvl = image.astype(jnp.float32) if li == 0 else \
-            jax.image.resize(image, (lh, lw), method="linear")
-        levels.append(jnp.pad(lvl, ((0, H0 - lh), (0, W0 - lw))))
-    return jnp.stack(levels)
+    rounded up for the Pallas kernel's tiling).  The resize runs as two
+    MXU einsums over precomputed interpolation matrices — per-level
+    jax.image.resize gathers took ~35 ms/frame on TPU; this is ~2 GFLOP
+    of batched matmul."""
+    Ay, Ax = _resize_mats(shapes, tile_rows)
+    img = image.astype(jnp.float32)
+    rows = jnp.einsum("lhH,HW->lhW", Ay, img,
+                      precision=jax.lax.Precision.HIGHEST)
+    stack = jnp.einsum("lhW,lwW->lhw", rows, Ax,
+                       precision=jax.lax.Precision.HIGHEST)
+    # resized levels are quantized to integer intensities, mirroring the
+    # reference's 8-bit pyramid (cv::resize in ORBextractor.cc:781-822);
+    # level 0 is the input image, passed through untouched
+    return jnp.concatenate([stack[:1], jnp.round(stack[1:])], axis=0)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -113,7 +142,11 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
         # clamp to the TRUE per-level extent, not the padded one
         ys = jnp.clip(cy[:, None] + d[None, :], 0, lh[lvl_of, None] - 1)
         xs = jnp.clip(cx[:, None] + d[None, :], 0, lw[lvl_of, None] - 1)
-        return stk[lvl_of[:, None, None], ys[:, :, None], xs[:, None, :]]
+        # flattened single-axis take: ~8x faster than 3D advanced indexing
+        # on TPU (XLA lowers multi-dim gathers poorly)
+        flat = ((lvl_of[:, None, None] * H0 + ys[:, :, None]) * W0
+                + xs[:, None, :])
+        return jnp.take(stk.reshape(-1), flat, mode="clip")
 
     pat = gather_stack(stack, flat_xy, 2 * patches.HALF_PATCH + 1)
     mask = jnp.asarray(patches._IC_MASK)
@@ -134,7 +167,9 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
     sy = jnp.round(px * sa + py * ca + flat_xy[:, 1:2])
     xi = jnp.clip(sx.astype(jnp.int32), 0, lw[lvl_of, None] - 1)
     yi = jnp.clip(sy.astype(jnp.int32), 0, lh[lvl_of, None] - 1)
-    samples = blurred[lvl_of[:, None], yi, xi]           # [L*slot_cap, 512]
+    samples = jnp.take(blurred.reshape(-1),
+                       (lvl_of[:, None] * H0 + yi) * W0 + xi,
+                       mode="clip")                      # [L*slot_cap, 512]
     bits = (samples[:, 0::2] < samples[:, 1::2]).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     desc = jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=-1, dtype=jnp.uint32)

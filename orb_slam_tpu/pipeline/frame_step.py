@@ -45,10 +45,14 @@ class FrameStepOut(NamedTuple):
     t: jnp.ndarray           # [3]
     pid_global: jnp.ndarray  # [N] int32 global landmark id per slot (-1 none)
     next_last_pos: jnp.ndarray  # [N, 3] positions of associated landmarks
+    next_last_valid: jnp.ndarray  # [N] bool (pid_global >= 0, device-side)
     inliers: jnp.ndarray     # [N] bool
     # updated landmark statistics (full-map arrays)
     mp_visible: jnp.ndarray  # [P] int32
     mp_found: jnp.ndarray    # [P] int32
+    # device-chained scalars (feed the NEXT frame's dispatch without any
+    # host round trip — the software-pipelining handles)
+    lm_matches: jnp.ndarray  # [] int32 local-map match count
     # packed host readback (ONE fetch per frame):
     # [R(9), t(3), f2f, localmap, visible, inliers, pid_global(N)]
     host_blob: jnp.ndarray   # [16 + N] float32 (pids exact: < 2^24)
@@ -56,28 +60,39 @@ class FrameStepOut(NamedTuple):
 
 @partial(jax.jit, static_argnames=(
     "ext_cfg", "matcher_cfg", "solver_cfg", "use_pallas",
-    "min_track_inliers"))
+    "min_track_inliers", "has_vel"))
 def frame_step(
     image,
     last_desc, last_level, last_angle, last_pos, last_valid,
     mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
     sel,
     mp_visible, mp_found,
-    pose_vec,
+    R_last, t_last, R_prev, t_prev, prev_lm_matches,
     cam: CameraParams,
     *, ext_cfg, matcher_cfg, solver_cfg,
     use_pallas: bool = False, min_track_inliers: int = 10,
+    has_vel: bool = True,
 ) -> FrameStepOut:
     """image: [H, W] grayscale (any numeric dtype, 0..255 range).
     sel: [cap] int32 indices of the local-map points (host-selected by
     covisibility voting; -1 = padding).  mp_* are the FULL map tables;
     gathering the local window inside the program saves dispatches.
-    pose_vec: [13] float32 = [R_pred(9), t_pred(3), prev_localmap_matches]
-    packed into one upload.
-    """
-    R_pred = pose_vec[:9].reshape(3, 3)
-    t_pred = pose_vec[9:12]
-    prev_localmap_matches = pose_vec[12].astype(jnp.int32)
+
+    The motion model (Tracking.cc:130-139) runs IN-program from the last
+    two poses — R_last/t_last/R_prev/t_prev and prev_lm_matches are device
+    outputs of the previous frame_step, so consecutive frames chain on the
+    device with zero host round trips between dispatches.  The host fetches
+    frame i's host_blob AFTER dispatching frame i+1 (software pipelining:
+    on dispatch-latency-bound runtimes the fetch overlaps the next frame's
+    execution)."""
+    if has_vel:
+        vel_R = R_last @ R_prev.T
+        vel_t = t_last - vel_R @ t_prev
+        R_pred = vel_R @ R_last
+        t_pred = vel_R @ t_last + vel_t
+    else:
+        R_pred, t_pred = R_last, t_last
+    prev_localmap_matches = prev_lm_matches.astype(jnp.int32)
 
     feats = extract_batched(
         image.astype(jnp.float32), ext_cfg, ext_cfg.n_features,
@@ -132,6 +147,8 @@ def frame_step(
         angle=feats.angle, level=feats.level, desc=feats.desc,
         kp_valid=feats.valid, inv_sigma2=inv_s2, sigma2=s2,
         R=R_fin, t=t_fin, pid_global=pid_global,
-        next_last_pos=next_last_pos, inliers=inliers,
+        next_last_pos=next_last_pos, next_last_valid=pid_global >= 0,
+        inliers=inliers,
         mp_visible=mp_visible2, mp_found=mp_found2,
+        lm_matches=stats["localmap_matches"].astype(jnp.int32),
         host_blob=host_blob)

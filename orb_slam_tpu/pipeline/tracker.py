@@ -78,6 +78,12 @@ class Tracker:
     _sel_cache: Optional[np.ndarray] = None
     _sel_frame: int = -10**9
     _sel_dirty: bool = True
+    # software pipeline (fused path): in-flight dispatched frames whose
+    # host blobs have not been fetched yet, plus the device-resident chain
+    # of "last frame" handles feeding the next dispatch (frame_step docs)
+    _pipe: List[dict] = field(default_factory=list)
+    _chain: Optional[dict] = None
+    _force_kf: bool = False
     last_frame: Optional[frame_mod.FrameData] = None
     last_R: Optional[jnp.ndarray] = None
     last_t: Optional[jnp.ndarray] = None
@@ -111,6 +117,8 @@ class Tracker:
     def process(self, feats: FrameFeatures, timestamp: float) -> dict:
         """Track one frame from pre-extracted features; returns a metrics
         dict (SURVEY.md §5.5)."""
+        self._drain_pipe()  # leave the fused pipeline before the staged path
+        self._chain = None
         fd = frame_mod.build_frame(feats, self.cam, self.cfg.extractor)
         metrics = {"frame_id": self.frame_id, "state": self.state.name,
                    "n_kp": int(jnp.sum(feats.valid))}
@@ -139,13 +147,24 @@ class Tracker:
         """
         if self.state == TrackState.WORKING:
             metrics = {"frame_id": self.frame_id, "state": self.state.name}
-            self._poll_mapper(metrics)
-            self._track_fused(image, timestamp, metrics)
-            self.frame_id += 1
-            metrics["state_after"] = self.state.name
-            metrics["n_map_points"] = self.slam_map.n_mp
-            metrics["n_keyframes"] = self.slam_map.n_kf
-            return metrics
+            # commit finished keyframe-rate work first; the pipeline must be
+            # drained so in-flight associations can be remapped/revalidated
+            if self.async_mapper is not None:
+                res = self.async_mapper.poll()
+                if res is not None:
+                    self._drain_pipe()
+                    self._commit_mapping(res, metrics)
+            if self._force_kf and self.state == TrackState.WORKING:
+                self._starved_keyframe(metrics)
+            if self.state == TrackState.WORKING:
+                self._track_fused(image, timestamp, metrics)
+                self.frame_id += 1
+                metrics["state_after"] = self.state.name
+                metrics["n_map_points"] = self.slam_map.n_mp
+                metrics["n_keyframes"] = self.slam_map.n_kf
+                return metrics
+            # a drained in-flight frame lost tracking: fall through to the
+            # staged path for THIS image in the new state
         feats = self.extract(image)
         return self.process(feats, timestamp)
 
@@ -180,6 +199,7 @@ class Tracker:
         old_state = cur
         self.slam_map = new_map
         self._sel_dirty = True
+        self._chain = None  # chained handles reference the pre-commit pools
         metrics["mapping"] = res.metrics
 
         # remap + revalidate the in-flight per-slot associations
@@ -224,6 +244,7 @@ class Tracker:
     def finish(self):
         """Flush in-flight mapping work and commit (call before exporting
         the trajectory/map — the reference joins its threads at shutdown)."""
+        self._drain_pipe()
         if self.async_mapper is not None:
             res = self.async_mapper.flush()
             if res is not None:
@@ -240,25 +261,25 @@ class Tracker:
             ecfg.max_keypoints, use_pallas)
 
     def _track_fused(self, image, timestamp, metrics):
-        """WORKING-state tracking via the single fused frame program."""
+        """WORKING-state tracking via the single fused frame program,
+        software-pipelined (depth 1 with async mapping): frame i+1 is
+        dispatched from frame i's device-resident outputs (pose chain,
+        feature tables, landmark stats) BEFORE frame i's host blob is
+        fetched, so the fetch round trip overlaps frame i+1's execution.
+        On dispatch-latency-bound runtimes (the tunneled TPU) this halves
+        per-frame wall clock; the keyframe decision lags one frame, which
+        matches the reference's asynchronous insertion latency."""
         from . import frame_step as fs
 
         tcfg = self.cfg.tracker
         st = self.slam_map.state
-
-        # pose prediction (motion model, Tracking.cc:130-139) — host numpy
-        R_last = np.asarray(self.last_R)
-        t_last = np.asarray(self.last_t)
-        if tcfg.use_motion_model and self.vel_R is not None:
-            R_pred = self.vel_R @ R_last
-            t_pred = self.vel_R @ t_last + self.vel_t
-        else:
-            R_pred, t_pred = R_last, t_last
+        chain = self._chain if self._chain is not None else self._build_chain()
 
         # local-map window selection (host covisibility voting).  The local
         # window only changes when mapping commits or tracked associations
         # drift, so recompute it at most every few frames (the upload is a
-        # relay round trip)
+        # relay round trip).  Votes use associations from the most recently
+        # retired frame (<= 2 frames stale under the pipeline).
         cap = self.cfg.map.local_ba_max_points
         if (self._sel_cache is None or self._sel_dirty
                 or self.frame_id - self._sel_frame >= 4):
@@ -269,26 +290,82 @@ class Tracker:
             self._sel_frame = self.frame_id
             self._sel_dirty = False
         sel = self._sel_cache
-        lf = self.last_frame
         use_pallas = (jax.default_backend() in ("tpu", "axon")
                       and not self.cfg.extractor.score_harris)
 
-        pose_vec = np.concatenate([
-            R_pred.reshape(9), t_pred,
-            [float(self._prev_localmap_matches)]]).astype(np.float32)
         out = fs.frame_step(
             image,
-            lf.feats.desc, lf.feats.level, lf.feats.angle,
-            self.last_assoc_pos, self.last_assoc_valid,
+            chain["desc"], chain["level"], chain["angle"],
+            chain["pos"], chain["valid"],
             st.mp_pos, st.mp_desc, st.mp_normal, st.mp_min_dist,
             st.mp_max_dist, st.mp_valid,
             sel,
-            st.mp_visible, st.mp_found,
-            pose_vec,
+            chain["mp_visible"], chain["mp_found"],
+            chain["R_last"], chain["t_last"],
+            chain["R_prev"], chain["t_prev"], chain["lm"],
             self.cam,
             ext_cfg=self.cfg.extractor, matcher_cfg=self.cfg.matcher,
             solver_cfg=self.cfg.solver, use_pallas=use_pallas,
-            min_track_inliers=tcfg.min_track_inliers)
+            min_track_inliers=tcfg.min_track_inliers,
+            has_vel=chain["has_vel"])
+
+        self._pipe.append(dict(out=out, frame_id=self.frame_id,
+                               timestamp=timestamp, metrics=metrics))
+        self._chain = dict(
+            desc=out.desc, level=out.level, angle=out.angle,
+            pos=out.next_last_pos, valid=out.next_last_valid,
+            R_last=out.R, t_last=out.t,
+            R_prev=chain["R_last"], t_prev=chain["t_last"],
+            lm=out.lm_matches,
+            mp_visible=out.mp_visible, mp_found=out.mp_found,
+            has_vel=bool(tcfg.use_motion_model))
+
+        # retire past-depth frames (depth 0 without the async mapper: the
+        # synchronous keyframe path mutates landmark pools in place, which
+        # would invalidate an in-flight frame's chained tables)
+        depth = 1 if self.async_mapper is not None else 0
+        while len(self._pipe) > depth:
+            self._retire_one()
+
+    def _build_chain(self) -> dict:
+        """Device handles feeding the next frame_step dispatch, rebuilt from
+        host state after init/reloc/commit/reset (the in-program motion
+        model reproduces the host velocity model exactly: with
+        R_prev = vel_R^T R_last, t_prev = vel_R^T (t_last - vel_t) the
+        program's R_last R_prev^T == vel_R)."""
+        lf = self.last_frame
+        tcfg = self.cfg.tracker
+        st = self.slam_map.state
+        R_last = np.asarray(self.last_R, np.float32)
+        t_last = np.asarray(self.last_t, np.float32)
+        has_vel = bool(tcfg.use_motion_model and self.vel_R is not None)
+        if has_vel:
+            R_prev = self.vel_R.T @ R_last
+            t_prev = self.vel_R.T @ (t_last - self.vel_t)
+        else:
+            R_prev, t_prev = R_last, t_last
+        return dict(
+            desc=lf.feats.desc, level=lf.feats.level, angle=lf.feats.angle,
+            pos=self.last_assoc_pos, valid=jnp.asarray(self.last_assoc_valid),
+            R_last=jnp.asarray(R_last), t_last=jnp.asarray(t_last),
+            R_prev=jnp.asarray(R_prev, jnp.float32),
+            t_prev=jnp.asarray(t_prev, jnp.float32),
+            lm=jnp.int32(self._prev_localmap_matches),
+            mp_visible=st.mp_visible, mp_found=st.mp_found,
+            has_vel=has_vel)
+
+    def _drain_pipe(self):
+        while self._pipe:
+            self._retire_one()
+
+    def _retire_one(self):
+        """Fetch the oldest in-flight frame's host blob and run the host-side
+        bookkeeping: trajectory, stats, motion model, loss handling, and the
+        keyframe decision."""
+        rec = self._pipe.pop(0)
+        out = rec["out"]
+        fid, timestamp, metrics = rec["frame_id"], rec["timestamp"], rec["metrics"]
+        tcfg = self.cfg.tracker
 
         # ONE host fetch: pose + stats + per-slot landmark ids
         blob = np.asarray(out.host_blob)
@@ -311,17 +388,20 @@ class Tracker:
             xy_und=out.xy_und, inv_sigma2=out.inv_sigma2, sigma2=out.sigma2)
 
         if n_inl < tcfg.min_localmap_inliers:
-            self.trajectory.append(FrameRecord(
-                self.frame_id, timestamp, Rc, tc, False))
+            self.trajectory.append(FrameRecord(fid, timestamp, Rc, tc, False))
+            self._chain = None
             if self.slam_map.n_kf <= tcfg.reset_if_lost_before_kfs:
                 self._reset_map()
                 metrics["event"] = "system_reset"
             else:
                 self.state = TrackState.LOST
                 metrics["event"] = "tracking_lost"
+            self._abort_pipe()
             return
 
         # motion model update
+        R_last = np.asarray(self.last_R)
+        t_last = np.asarray(self.last_t)
         self.vel_R = np.asarray(se3.orthonormalize(jnp.asarray(Rc @ R_last.T)))
         self.vel_t = tc - self.vel_R @ t_last
 
@@ -331,12 +411,11 @@ class Tracker:
         self.last_assoc_valid = pid_global >= 0
         self.last_assoc_pos = out.next_last_pos
 
-        self.trajectory.append(FrameRecord(
-            self.frame_id, timestamp, Rc, tc, True))
+        self.trajectory.append(FrameRecord(fid, timestamp, Rc, tc, True))
 
         # keyframe decision (NeedNewKeyFrame, Tracking.cc:651-689)
         self.n_ref_tracked = max(self.n_ref_tracked, n_inl)
-        frames_since = self.frame_id - self.last_kf_frame_id
+        frames_since = fid - self.last_kf_frame_id
         need = (
             frames_since >= tcfg.max_frames_between_kf
             or (n_inl < tcfg.kf_min_tracked_ratio * max(self.n_ref_tracked, 1)
@@ -346,16 +425,60 @@ class Tracker:
             am = self.async_mapper
             if am is not None and am.busy:
                 # backpressure (SetAcceptKeyFrames, src/Tracking.cc:665-685):
-                # normally skip; but if tracking is about to starve, drain
-                # the worker and insert (the InterruptBA analog)
+                # normally skip; but if tracking is about to starve, mark a
+                # forced insertion — executed at the next frame boundary
+                # with the pipeline empty (the InterruptBA analog)
                 if n_inl < 2 * tcfg.kf_min_tracked:
-                    res = am.flush()
-                    if res is not None:
-                        self._commit_mapping(res, metrics)
-                    self._create_keyframe(
-                        fd, timestamp, self.last_assoc_pid, metrics)
+                    self._force_kf = True
             else:
-                self._create_keyframe(fd, timestamp, pid_global, metrics)
+                self._create_keyframe(fd, timestamp, pid_global, metrics,
+                                      frame_id=fid)
+                if am is None:
+                    # synchronous mapping moved landmark pools/poses:
+                    # rebuild the dispatch chain from the committed state
+                    self._chain = None
+
+    def _abort_pipe(self):
+        """After a loss/reset detected at retire time: frames dispatched
+        beyond the lost frame chained from a bogus pose.  Route their
+        device-resident features through the staged state machine (reloc /
+        re-initialization) instead of trusting their fused results."""
+        recs, self._pipe = self._pipe, []
+        self._chain = None
+        for rec in recs:
+            out = rec["out"]
+            fd = frame_mod.FrameData(
+                feats=FrameFeatures(
+                    xy=out.xy, response=out.response, angle=out.angle,
+                    level=out.level, desc=out.desc, valid=out.kp_valid),
+                xy_und=out.xy_und, inv_sigma2=out.inv_sigma2,
+                sigma2=out.sigma2)
+            saved = self.frame_id
+            self.frame_id = rec["frame_id"]
+            try:
+                if self.state in (TrackState.NOT_INITIALIZED,
+                                  TrackState.INITIALIZING):
+                    self._initialize(fd, rec["timestamp"], rec["metrics"])
+                elif self.state == TrackState.LOST:
+                    self._relocalize(fd, rec["timestamp"], rec["metrics"])
+            finally:
+                self.frame_id = saved
+
+    def _starved_keyframe(self, metrics):
+        """Forced keyframe insertion under backpressure (pipeline drained,
+        worker flushed): insert the latest retired frame as a keyframe."""
+        self._force_kf = False
+        self._drain_pipe()
+        if self.state != TrackState.WORKING:
+            return
+        res = self.async_mapper.flush()
+        if res is not None:
+            self._commit_mapping(res, metrics)
+        self._create_keyframe(
+            self.last_frame, self.trajectory[-1].timestamp,
+            self.last_assoc_pid, metrics,
+            frame_id=self.trajectory[-1].frame_id)
+        self._chain = None
 
     # ------------------------------------------------------------------
     def _initialize(self, fd, timestamp, metrics):
@@ -519,6 +642,9 @@ class Tracker:
         self._prev_localmap_matches = 0
         self._sel_cache = None
         self._sel_dirty = True
+        self._pipe = []
+        self._chain = None
+        self._force_kf = False
         if self.loop_closer is not None:
             self.loop_closer.kf_bow = {}
             self.loop_closer.consistent_groups = []
@@ -810,17 +936,20 @@ class Tracker:
             mp_found=st.mp_found.at[jnp.asarray(found_ids)].add(1),
         )
 
-    def _create_keyframe(self, fd, timestamp, pid_global, metrics):
+    def _create_keyframe(self, fd, timestamp, pid_global, metrics,
+                         frame_id: Optional[int] = None):
+        if frame_id is None:
+            frame_id = self.frame_id
         smap = self.slam_map
         kf = smap.add_keyframe(
             self.last_R, self.last_t,
             fd.xy_und, fd.feats.level, fd.feats.angle, fd.feats.desc,
             fd.feats.valid, jnp.asarray(pid_global),
-            self.frame_id, timestamp, parent=self.ref_kf,
+            frame_id, timestamp, parent=self.ref_kf,
         )
         self.ref_kf = kf
         self.n_ref_tracked = int((pid_global >= 0).sum())
-        self.last_kf_frame_id = self.frame_id
+        self.last_kf_frame_id = frame_id
         self._sel_dirty = True
         metrics["event"] = "keyframe_inserted"
         metrics["kf_id"] = kf

@@ -60,3 +60,28 @@ def test_batched_full_size(rng):
     v = np.asarray(f.valid)
     assert np.asarray(f.xy)[v][:, 0].max() < 640
     assert np.asarray(f.level)[v].max() >= 1
+
+
+def test_matmul_resize_matches_jax_image_resize(rng):
+    """The MXU-matmul pyramid build must reproduce jax.image.resize
+    (linear, antialiased) to float tolerance at every level."""
+    import jax
+    from orb_slam_tpu.frontend.extractor_batched import _build_stack
+    from orb_slam_tpu.ops.resize import resize_matrix
+    img = rng.uniform(0, 255, (120, 160)).astype(np.float32)
+    cfg = ExtractorConfig(n_levels=5)
+    shapes = extractor.level_shapes(cfg, *img.shape)
+    stack = np.asarray(_build_stack(jnp.asarray(img), shapes))
+    for li, (lh, lw) in enumerate(shapes):
+        want = np.asarray(jax.image.resize(jnp.asarray(img), (lh, lw),
+                                           method="linear"))
+        got = stack[li, :lh, :lw]
+        # levels > 0 are quantized to integer intensities (8-bit pyramid
+        # parity with the reference), so allow the 0.5 rounding step
+        tol = 5e-3 if li == 0 else 0.5 + 5e-3
+        assert np.max(np.abs(got - want)) < tol, li
+        # padding region stays exactly zero
+        assert np.all(stack[li, lh:, :] == 0) and np.all(stack[li, :, lw:] == 0)
+    # weight rows are a partition of unity
+    A = resize_matrix(120, 57)
+    np.testing.assert_allclose(A.sum(axis=1), 1.0, atol=1e-6)
