@@ -22,24 +22,79 @@ import time
 import numpy as np
 
 
-def render_image(X, patches, R, t, K, width=640, height=480, patch=9):
-    """Stamp each landmark's fixed random patch at its projection (the same
-    renderer as tests/test_image_e2e.py: the real FAST/BRIEF front end must
-    re-detect and re-match)."""
-    img = np.full((height, width), 90.0, np.float32)
-    xc = X @ R.T + t
-    z = xc[:, 2]
-    uv = np.stack([K[0, 0] * xc[:, 0] / np.maximum(z, 1e-6) + K[0, 2],
-                   K[1, 1] * xc[:, 1] / np.maximum(z, 1e-6) + K[1, 2]], 1)
-    r = patch // 2
-    order = np.argsort(-z)
-    for i in order:
-        if z[i] < 0.5:
-            continue
-        u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))
-        if r <= u < width - r and r <= v < height - r:
-            img[v - r:v + r + 1, u - r:u + r + 1] = patches[i]
-    return img
+def _sample_bilinear(tex, u, v):
+    h, w = tex.shape
+    u = np.mod(u, float(w))
+    v = np.mod(v, float(h))
+    x0 = np.minimum(u.astype(np.int32), w - 1)
+    y0 = np.minimum(v.astype(np.int32), h - 1)
+    fx = u - x0
+    fy = v - y0
+    x1 = (x0 + 1) % w
+    y1 = (y0 + 1) % h
+    return (tex[y0, x0] * (1 - fx) * (1 - fy) + tex[y0, x1] * fx * (1 - fy)
+            + tex[y1, x0] * (1 - fx) * fy + tex[y1, x1] * fx * fy)
+
+
+def make_texture(rng, size=1024):
+    """Multi-octave band-limited value noise (finest features ~4 px):
+    FAST corners at every pyramid scale with repeatable BRIEF
+    neighborhoods.  Per-pixel noise is avoided — it decorrelates under the
+    sub-pixel resampling of camera motion.  (Isolated point-stamps are NOT
+    usable either: BRIEF samples span +-19 px, so with sparse stamps most
+    bits compare background pixels that shift with parallax and matching
+    repeatability collapses.)"""
+    img = np.zeros((size, size), np.float32)
+    yy, xx = np.meshgrid(np.arange(size, dtype=np.float32),
+                         np.arange(size, dtype=np.float32), indexing="ij")
+    for cells, amp in ((8, 0.7), (32, 1.0), (64, 1.0), (128, 1.0),
+                       (256, 0.8)):
+        g = rng.uniform(0, 1, (cells, cells)).astype(np.float32)
+        s = cells / size
+        img += amp * _sample_bilinear(g, xx * s, yy * s)
+    img -= img.min()
+    return (img / img.max() * 255.0).astype(np.float32)
+
+
+class SceneRenderer:
+    """Two textured fronto-parallel planes (a near wall patch at z=6 m in
+    front of a far wall at z=12 m) rendered by inverse ray casting — a
+    continuous-texture world with real depth structure, so the full front
+    end (FAST, IC-angle, BRIEF) sees realistic multi-scale corners and the
+    two-view initializer gets non-planar geometry."""
+
+    Z_NEAR, Z_FAR = 6.0, 12.0
+    NEAR_HALF = (4.2, 2.8)     # world half-extent of the near wall (m)
+    # texture density per plane, chosen so 1 texture px ~ 1 image px at
+    # f=500 (far-plane detail finer than a pixel just aliases away)
+    PX_NEAR = 85.0
+    PX_FAR = 42.0
+
+    def __init__(self, rng, K, width=640, height=480):
+        self.tex_near = make_texture(rng)
+        self.tex_far = make_texture(rng)
+        uu, vv = np.meshgrid(np.arange(width, dtype=np.float32),
+                             np.arange(height, dtype=np.float32))
+        self.dirs = np.stack([(uu - K[0, 2]) / K[0, 0],
+                              (vv - K[1, 2]) / K[1, 1],
+                              np.ones_like(uu)], -1)      # [H, W, 3]
+
+    def render(self, R, t):
+        o = -R.T @ t                                      # camera center
+        D = self.dirs @ R                                 # rays, world frame
+        dz = np.where(np.abs(D[..., 2]) < 1e-9, 1e-9, D[..., 2])
+        s_near = (self.Z_NEAR - o[2]) / dz
+        wn = o[None, None, :] + s_near[..., None] * D
+        s_far = (self.Z_FAR - o[2]) / dz
+        wf = o[None, None, :] + s_far[..., None] * D
+        near_hit = ((s_near > 0)
+                    & (np.abs(wn[..., 0]) < self.NEAR_HALF[0])
+                    & (np.abs(wn[..., 1]) < self.NEAR_HALF[1]))
+        img = _sample_bilinear(self.tex_far, wf[..., 0] * self.PX_FAR,
+                               wf[..., 1] * self.PX_FAR)
+        img_n = _sample_bilinear(self.tex_near, wn[..., 0] * self.PX_NEAR,
+                                 wn[..., 1] * self.PX_NEAR)
+        return np.where(near_hit, img_n, img).astype(np.float32)
 
 
 def rotmat(axis, angle):
@@ -71,13 +126,6 @@ def main():
     from orb_slam_tpu.pipeline.tracker import TrackState
 
     rng = np.random.default_rng(11)
-    n_pts = 1400
-    X = np.stack([
-        rng.uniform(-14, 14, n_pts),
-        rng.uniform(-5, 5, n_pts),
-        rng.uniform(4, 14, n_pts),
-    ], 1).astype(np.float32)
-    patches = rng.uniform(0, 255, (n_pts, 9, 9)).astype(np.float32)
 
     # the reference's headline mono config: 1000 features, 8 levels
     cfg = SystemConfig(
@@ -91,6 +139,7 @@ def main():
     )
     system = System.create(cfg)
     K = cfg.camera.K
+    scene = SceneRenderer(rng, K)
 
     # bootstrap: init + first keyframes (not measured)
     i = 0
@@ -98,7 +147,7 @@ def main():
             system.tracker.state == TrackState.WORKING
             and system.tracker.slam_map.n_kf >= 3):
         R, t = pose_at(i)
-        system.process_image(render_image(X, patches, R, t, K),
+        system.process_image(scene.render(R, t),
                              timestamp=i / 30.0)
         i += 1
     assert system.tracker.state == TrackState.WORKING, "bootstrap failed"
@@ -106,7 +155,7 @@ def main():
     # warm the steady-state program (first fused compile is slow)
     for _ in range(3):
         R, t = pose_at(i)
-        system.process_image(render_image(X, patches, R, t, K),
+        system.process_image(scene.render(R, t),
                              timestamp=i / 30.0)
         i += 1
 
@@ -116,7 +165,7 @@ def main():
     frames = []
     for j in range(n_frames):
         R, t = pose_at(i + j)
-        frames.append(render_image(X, patches, R, t, K))
+        frames.append(scene.render(R, t))
 
     n_kf0 = system.tracker.slam_map.n_kf
     per_frame = []

@@ -107,6 +107,10 @@ class MatcherConfig:
     radius_view_cos_wide: float = 4.0
     localmap_th: float = 1.0        # SearchReferencePointsInFrustum th (Tracking.cc:737)
     localmap_th_coarse: float = 5.0  # coarser search after recent reloc (Tracking.cc:739-740)
+    # relocalisation escalation rounds (Tracking.cc:984-1021):
+    reloc_proj_th_wide: float = 10.0   # round-2 window (Tracking.cc:991)
+    reloc_proj_th_narrow: float = 3.0  # round-3 window (Tracking.cc:1007)
+    reloc_orb_dist: int = 64           # round-3 ORBdist (Tracking.cc:1007)
 
 
 @dataclasses.dataclass(frozen=True)

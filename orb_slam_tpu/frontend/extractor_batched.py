@@ -130,49 +130,60 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
     quota_arr = jnp.asarray(quotas)[:, None]
     valid = kp.valid & (rank < quota_arr)
 
-    # IC-angle: one gather over the stack for all levels' keypoints
     flat_xy = kp.xy.reshape(L * slot_cap, 2)
     lvl_of = jnp.repeat(jnp.arange(L), slot_cap)
-
-    def gather_stack(stk, xy, size):
-        r = size // 2
-        cx = jnp.round(xy[:, 0]).astype(jnp.int32)
-        cy = jnp.round(xy[:, 1]).astype(jnp.int32)
-        d = jnp.arange(-r, r + 1)
-        # clamp to the TRUE per-level extent, not the padded one
-        ys = jnp.clip(cy[:, None] + d[None, :], 0, lh[lvl_of, None] - 1)
-        xs = jnp.clip(cx[:, None] + d[None, :], 0, lw[lvl_of, None] - 1)
-        # flattened single-axis take: ~8x faster than 3D advanced indexing
-        # on TPU (XLA lowers multi-dim gathers poorly)
-        flat = ((lvl_of[:, None, None] * H0 + ys[:, :, None]) * W0
-                + xs[:, None, :])
-        return jnp.take(stk.reshape(-1), flat, mode="clip")
-
-    pat = gather_stack(stack, flat_xy, 2 * patches.HALF_PATCH + 1)
-    mask = jnp.asarray(patches._IC_MASK)
-    pm = pat * mask
-    dx = jnp.asarray(patches._IC_DX)
-    m10 = jnp.sum(pm * dx[None, None, :], axis=(1, 2))
-    m01 = jnp.sum(pm * dx[None, :, None], axis=(1, 2))
-    angle = jnp.arctan2(m01, m10)                        # [L*slot_cap]
-
-    # blur the whole stack at once, then steered BRIEF via one gather
     blurred = (blurred_stack if blurred_stack is not None
                else jax.vmap(patches.gaussian_blur7)(stack))
-    ca = jnp.cos(angle)[:, None]
-    sa = jnp.sin(angle)[:, None]
-    px = jnp.asarray(brief._POINTS[:, 0])[None, :]
-    py = jnp.asarray(brief._POINTS[:, 1])[None, :]
-    sx = jnp.round(px * ca - py * sa + flat_xy[:, 0:1])
-    sy = jnp.round(px * sa + py * ca + flat_xy[:, 1:2])
-    xi = jnp.clip(sx.astype(jnp.int32), 0, lw[lvl_of, None] - 1)
-    yi = jnp.clip(sy.astype(jnp.int32), 0, lh[lvl_of, None] - 1)
-    samples = jnp.take(blurred.reshape(-1),
-                       (lvl_of[:, None] * H0 + yi) * W0 + xi,
-                       mode="clip")                      # [L*slot_cap, 512]
-    bits = (samples[:, 0::2] < samples[:, 1::2]).astype(jnp.uint32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    desc = jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=-1, dtype=jnp.uint32)
+
+    if use_pallas:
+        # fused IC-angle + steered-BRIEF kernel: one-hot MXU matmuls on
+        # VMEM-resident levels instead of per-keypoint gathers
+        from ..ops.describe_pallas import orient_describe
+        dims = jnp.stack([lh, lw], axis=1).astype(jnp.int32)
+        m01, m10, desc = orient_describe(stack, blurred, kp.xy, dims)
+        angle = jnp.arctan2(m01.reshape(-1), m10.reshape(-1))
+        desc = desc.reshape(L * slot_cap, 8)
+    else:
+        # IC-angle: one gather over the stack for all levels' keypoints
+        def gather_stack(stk, xy, size):
+            r = size // 2
+            cx = jnp.round(xy[:, 0]).astype(jnp.int32)
+            cy = jnp.round(xy[:, 1]).astype(jnp.int32)
+            d = jnp.arange(-r, r + 1)
+            # clamp to the TRUE per-level extent, not the padded one
+            ys = jnp.clip(cy[:, None] + d[None, :], 0, lh[lvl_of, None] - 1)
+            xs = jnp.clip(cx[:, None] + d[None, :], 0, lw[lvl_of, None] - 1)
+            # flattened single-axis take: ~8x faster than 3D advanced
+            # indexing on TPU (XLA lowers multi-dim gathers poorly)
+            flat = ((lvl_of[:, None, None] * H0 + ys[:, :, None]) * W0
+                    + xs[:, None, :])
+            return jnp.take(stk.reshape(-1), flat, mode="clip")
+
+        pat = gather_stack(stack, flat_xy, 2 * patches.HALF_PATCH + 1)
+        mask = jnp.asarray(patches._IC_MASK)
+        pm = pat * mask
+        dx = jnp.asarray(patches._IC_DX)
+        m10 = jnp.sum(pm * dx[None, None, :], axis=(1, 2))
+        m01 = jnp.sum(pm * dx[None, :, None], axis=(1, 2))
+        angle = jnp.arctan2(m01, m10)                    # [L*slot_cap]
+
+        # steered BRIEF via one gather over the blurred stack
+        ca = jnp.cos(angle)[:, None]
+        sa = jnp.sin(angle)[:, None]
+        px = jnp.asarray(brief._POINTS[:, 0])[None, :]
+        py = jnp.asarray(brief._POINTS[:, 1])[None, :]
+        sx = jnp.round(px * ca - py * sa + flat_xy[:, 0:1])
+        sy = jnp.round(px * sa + py * ca + flat_xy[:, 1:2])
+        xi = jnp.clip(sx.astype(jnp.int32), 0, lw[lvl_of, None] - 1)
+        yi = jnp.clip(sy.astype(jnp.int32), 0, lh[lvl_of, None] - 1)
+        samples = jnp.take(blurred.reshape(-1),
+                           (lvl_of[:, None] * H0 + yi) * W0 + xi,
+                           mode="clip")                  # [L*slot_cap, 512]
+        bits = (samples[:, 0::2] < samples[:, 1::2]).astype(jnp.uint32)
+        weights = (jnp.uint32(1)
+                   << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+        desc = jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=-1,
+                       dtype=jnp.uint32)
 
     # assemble level-0-scaled coordinates + fixed-capacity output
     scale = jnp.asarray(cfg.scale_factor ** np.arange(L, dtype=np.float32))

@@ -297,3 +297,19 @@ def point_observation_counts(state: MapState) -> jnp.ndarray:
     flat = obs.reshape(-1)
     counts = jnp.zeros((P + 1,), jnp.int32).at[flat].add(1)
     return counts[:P] * state.mp_valid
+
+
+def point_observation_counts_by_level(state: MapState,
+                                      n_levels: int) -> jnp.ndarray:
+    """[P, L] cumulative observation counts: entry (p, l) is the number of
+    keyframe observations of point p whose keypoint octave is <= l.  Feeds
+    the same-or-finer-scale redundancy test of keyframe culling
+    (src/LocalMapping.cc:563-580: an observation only counts as redundant
+    cover if scaleLevel_i <= scaleLevel + 1)."""
+    P = state.mp_valid.shape[0]
+    pid = jnp.where(state.kf_obs >= 0, state.kf_obs, P)
+    lvl = jnp.clip(state.kf_level, 0, n_levels - 1)
+    flat = (pid * n_levels + lvl).reshape(-1)
+    counts = jnp.zeros(((P + 1) * n_levels,), jnp.int32).at[flat].add(1)
+    by_level = counts[:P * n_levels].reshape(P, n_levels)
+    return jnp.cumsum(by_level, axis=1) * state.mp_valid[:, None]

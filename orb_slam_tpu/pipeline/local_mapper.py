@@ -484,13 +484,13 @@ class LocalMapper:
     def cull_keyframes(self, smap: mapstore.SlamMap, current_kf: int) -> int:
         """KeyFrameCulling (src/LocalMapping.cc:539-593): drop a covisible
         keyframe when >= 90% of its landmarks are observed by >= 3 other
-        keyframes.  (The reference additionally requires the other
-        observations to be at the same or finer octave; the scale check is
-        omitted — it only matters for strongly multi-scale maps.)
+        keyframes at the same or finer octave (scaleLevel_i <= scaleLevel+1,
+        LocalMapping.cc:573-575).
 
         Never culls keyframe 0 (gauge anchor), the current keyframe, or
         keyframes holding loop edges (KeyFrame::SetNotErase semantics)."""
         lm_cfg = self.cfg.local_mapping
+        n_levels = self.cfg.extractor.n_levels
         st = smap.state
         P = self.cfg.map.max_points
         weights = np.asarray(mapstore.covisibility_row(st, current_kf, P))
@@ -499,27 +499,45 @@ class LocalMapper:
         for a, b in (smap.loop_edges or []):
             protected |= {a, b}
 
-        counts = np.asarray(mapstore.point_observation_counts(st))
+        counts_le = np.asarray(
+            mapstore.point_observation_counts_by_level(st, n_levels))
         self.last_culled_kfs = []
         for k in candidates:
             if k in protected or not bool(np.asarray(st.kf_valid[k])):
                 continue
             obs = np.asarray(st.kf_obs[k])
-            pid = obs[obs >= 0]
+            sel = obs >= 0
+            pid = obs[sel]
             if len(pid) < 10:
                 continue
-            redundant = counts[pid] >= lm_cfg.kf_culling_min_obs + 1
+            lvl = np.clip(np.asarray(st.kf_level[k])[sel] + 1, 0,
+                          n_levels - 1)
+            # own observation is at octave <= level+1, so subtract it
+            redundant = counts_le[pid, lvl] - 1 >= lm_cfg.kf_culling_min_obs
             if redundant.mean() >= lm_cfg.kf_culling_redundancy:
                 self._erase_keyframe(smap, k)
-                counts = np.asarray(
-                    mapstore.point_observation_counts(smap.state))
+                counts_le = np.asarray(
+                    mapstore.point_observation_counts_by_level(
+                        smap.state, n_levels))
                 self.last_culled_kfs.append(k)
         return len(self.last_culled_kfs)
 
     def _erase_keyframe(self, smap: mapstore.SlamMap, k: int):
-        """Remove keyframe k: clear observations, invalidate, re-parent its
-        spanning-tree children to its own parent (simplified vs the greedy
-        re-parenting of KeyFrame.cc:497-588 — correct for linear chains)."""
+        """Remove keyframe k: clear observations, invalidate, and greedily
+        re-parent its spanning-tree children (KeyFrame.cc:519-588): repeat
+        picking the (child, candidate-parent) pair with the highest
+        covisibility weight, where candidates start at k's parent and grow
+        by each re-parented child; children with no covisible candidate
+        fall back to k's original parent."""
+        # covisibility BEFORE clearing k's observations (the reference
+        # computes child weights from the still-connected graph)
+        P = self.cfg.map.max_points
+        children = [c for c in range(smap.n_kf) if int(smap.parent[c]) == k]
+        p = int(smap.parent[k])
+        W = None
+        if children:
+            W = np.asarray(mapstore.covisibility_matrix(smap.state, P))
+
         st = smap.state
         N = st.kf_obs.shape[1]
         smap.state = st._replace(
@@ -527,10 +545,22 @@ class LocalMapper:
             kf_obs=st.kf_obs.at[k].set(jnp.full((N,), -1, jnp.int32)),
             kf_kp_valid=st.kf_kp_valid.at[k].set(False),
         )
-        p = int(smap.parent[k])
-        for c in range(smap.n_kf):
-            if int(smap.parent[c]) == k:
-                smap.parent[c] = p
+
+        candidates = {p} if p >= 0 else set()
+        pending = set(children)
+        while pending and candidates:
+            best_w, best_c, best_p = 0, -1, -1
+            for c in pending:
+                for q in candidates:
+                    if W[c, q] > best_w:
+                        best_w, best_c, best_p = int(W[c, q]), c, q
+            if best_c < 0:
+                break
+            smap.parent[best_c] = best_p
+            candidates.add(best_c)
+            pending.discard(best_c)
+        for c in pending:  # no covisible candidate: original parent
+            smap.parent[c] = p
         smap.parent[k] = -1
 
     # ------------------------------------------------------------------

@@ -829,24 +829,40 @@ class Tracker:
             # vote the wrong keyframe neighborhood)
             inl_pnp = np.asarray(res.inliers)
             mp = self._local_points(seed_pids=pid[inl_pnp & pvalid])
-            assoc2, visible = tk.match_local_map(
-                fd.xy_und, fd.feats.desc, fd.feats.level, fd.feats.angle,
-                fd.feats.valid,
-                mp["pos"], mp["desc"], mp["normal"], mp["min_d"], mp["max_d"],
-                mp["valid"],
-                r1.R, r1.t, self.cam,
-                th=jnp.float32(self.cfg.matcher.localmap_th_coarse),
-                max_dist=self.cfg.matcher.th_high,
-                ratio=self.cfg.matcher.nn_ratio_localmap,
-                n_levels=self.cfg.extractor.n_levels,
-                radius_tight=self.cfg.matcher.radius_view_cos_tight,
-                radius_wide=self.cfg.matcher.radius_view_cos_wide)
-            r2 = pose_opt.optimize_pose(
-                r1.R, r1.t, assoc2.pos, fd.xy_und, fd.inv_sigma2,
-                assoc2.valid, self.cam, self.cfg.solver)
+
+            def match_round(R, t, th, max_dist):
+                assoc, _ = tk.match_local_map(
+                    fd.xy_und, fd.feats.desc, fd.feats.level,
+                    fd.feats.angle, fd.feats.valid,
+                    mp["pos"], mp["desc"], mp["normal"], mp["min_d"],
+                    mp["max_d"], mp["valid"],
+                    R, t, self.cam,
+                    th=jnp.float32(th), max_dist=max_dist,
+                    ratio=self.cfg.matcher.nn_ratio_localmap,
+                    n_levels=self.cfg.extractor.n_levels,
+                    radius_tight=self.cfg.matcher.radius_view_cos_tight,
+                    radius_wide=self.cfg.matcher.radius_view_cos_wide)
+                r = pose_opt.optimize_pose(
+                    R, t, assoc.pos, fd.xy_und, fd.inv_sigma2,
+                    assoc.valid, self.cam, self.cfg.solver)
+                return assoc, r
+
+            # escalation rounds (Tracking.cc:984-1021): wide projection
+            # search first; if the result lands in the 30..50 band, a
+            # narrow search at the refined pose with a tighter descriptor
+            # gate decides acceptance.
+            mcfg = self.cfg.matcher
+            need = self.cfg.tracker.min_localmap_inliers_reloc
+            assoc2, r2 = match_round(r1.R, r1.t, mcfg.reloc_proj_th_wide,
+                                     mcfg.th_high)
             n_inl = int(r2.n_inliers)
+            if (self.cfg.tracker.min_localmap_inliers <= n_inl < need):
+                assoc2, r2 = match_round(r2.R, r2.t,
+                                         mcfg.reloc_proj_th_narrow,
+                                         mcfg.reloc_orb_dist)
+                n_inl = int(r2.n_inliers)
             metrics["reloc_inliers"] = n_inl
-            if n_inl < self.cfg.tracker.min_localmap_inliers_reloc:
+            if n_inl < need:
                 continue
 
             # recovered
