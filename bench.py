@@ -177,6 +177,9 @@ def main():
     dt = time.perf_counter() - t_all0
     system.tracker.finish()
 
+    from orb_slam_tpu.utils.timing import GLOBAL_TIMER
+    print("# stages:", json.dumps(GLOBAL_TIMER.summary()))
+
     tracked = sum(1 for r in system.tracker.trajectory[-n_frames:] if r.tracked)
     n_kf = system.tracker.slam_map.n_kf - n_kf0
     fps = n_frames / dt

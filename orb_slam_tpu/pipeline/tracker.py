@@ -31,6 +31,7 @@ from ..ops import match as match_ops
 from ..place import vocabulary as voc_mod
 from ..place import database as db_mod
 from ..solvers import pnp
+from ..utils.timing import GLOBAL_TIMER as _timer
 from . import frame as frame_mod
 from . import track_kernels as tk
 from .local_mapper import LocalMapper
@@ -152,12 +153,14 @@ class Tracker:
             if self.async_mapper is not None:
                 res = self.async_mapper.poll()
                 if res is not None:
-                    self._drain_pipe()
-                    self._commit_mapping(res, metrics)
+                    with _timer.stage("tracking", "commitMapping"):
+                        self._drain_pipe()
+                        self._commit_mapping(res, metrics)
             if self._force_kf and self.state == TrackState.WORKING:
                 self._starved_keyframe(metrics)
             if self.state == TrackState.WORKING:
-                self._track_fused(image, timestamp, metrics)
+                with _timer.stage("tracking", "trackFused"):
+                    self._track_fused(image, timestamp, metrics)
                 self.frame_id += 1
                 metrics["state_after"] = self.state.name
                 metrics["n_map_points"] = self.slam_map.n_mp
@@ -283,6 +286,7 @@ class Tracker:
         cap = self.cfg.map.local_ba_max_points
         if (self._sel_cache is None or self._sel_dirty
                 or self.frame_id - self._sel_frame >= 4):
+          with _timer.stage("tracking", "selectLocalWindow"):
             ids = self._select_local_point_ids(cap)
             pad = cap - len(ids)
             self._sel_cache = np.concatenate(
@@ -293,7 +297,8 @@ class Tracker:
         use_pallas = (jax.default_backend() in ("tpu", "axon")
                       and not self.cfg.extractor.score_harris)
 
-        out = fs.frame_step(
+        with _timer.stage("tracking", "dispatchFrameStep"):
+          out = fs.frame_step(
             image,
             chain["desc"], chain["level"], chain["angle"],
             chain["pos"], chain["valid"],
@@ -368,7 +373,8 @@ class Tracker:
         tcfg = self.cfg.tracker
 
         # ONE host fetch: pose + stats + per-slot landmark ids
-        blob = np.asarray(out.host_blob)
+        with _timer.stage("tracking", "fetchHostBlob"):
+            blob = np.asarray(out.host_blob)
         pid_global = blob[16:].astype(np.int32)
         Rc = blob[:9].reshape(3, 3)
         tc = blob[9:12]

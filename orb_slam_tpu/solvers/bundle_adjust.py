@@ -94,10 +94,92 @@ def _robust_cost(r, z, inv_sigma2, active, delta2):
     return jnp.sum(rho * active * (z > 0))
 
 
-@partial(jax.jit, static_argnames=("n_iters", "use_robust"))
+def _pcg_solve(matvec, precond, b, n_iters: int):
+    """Fixed-budget preconditioned conjugate gradient on the reduced camera
+    system (compiler-friendly: lax.scan, no convergence-dependent shapes).
+    Replaces g2o's CHOLMOD sparse Cholesky for problems where the dense
+    [6K,6K] Schur matrix / [P,K] block grid would not fit."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(step, (x0, r0, p0, rz0), None,
+                                   length=n_iters)
+    return x
+
+
+def _solve_reduced_cg(Hcc_d, Hpp_inv, A, gc, gp, edges, free, K,
+                      cg_iters: int):
+    """Matrix-free Schur solve: never materializes the [P,K,6,3] block grid
+    or the dense [6K,6K] matrix.  A [O,6,3] holds the per-edge camera-point
+    coupling Jc^T w Jp (each landmark is observed at most once per keyframe,
+    so per-edge blocks ARE the U_{pk} blocks).  S v is two edge-wise
+    segment-sums; the preconditioner is the exact block diagonal of S
+    (6x6 per camera), computable edge-wise for the same reason."""
+    cam_idx, pt_idx = edges.cam_idx, edges.pt_idx
+    P = Hpp_inv.shape[0]
+    freeC = free[:, None]
+
+    # g_red = gc - A Hpp^-1 gp (edge-wise)
+    y = jnp.einsum("pab,pb->pa", Hpp_inv, gp)              # [P,3]
+    g_red = gc - jnp.zeros((K, 6), gc.dtype).at[cam_idx].add(
+        jnp.einsum("oab,ob->oa", A, y[pt_idx]))
+    g_red = g_red * freeC
+
+    # exact block diagonal of S for the preconditioner
+    AH = jnp.einsum("oab,obc->oac", A, Hpp_inv[pt_idx])    # [O,6,3]
+    diag_sub = jnp.zeros((K, 6, 6), gc.dtype).at[cam_idx].add(
+        jnp.einsum("oac,obc->oab", AH, A))
+    S_diag = Hcc_d - diag_sub
+    S_diag = (S_diag * free[:, None, None]
+              + jnp.eye(6, dtype=gc.dtype) * (1.0 - free)[:, None, None]
+              + 1e-8 * jnp.eye(6, dtype=gc.dtype))
+    P_inv = jnp.linalg.inv(S_diag)                         # [K,6,6]
+
+    def matvec(v):
+        v = v.reshape(K, 6) * freeC
+        yp = jnp.zeros((P, 3), v.dtype).at[pt_idx].add(
+            jnp.einsum("oab,oa->ob", A, v[cam_idx]))       # W^T v
+        zp = jnp.einsum("pab,pb->pa", Hpp_inv, yp)
+        out = jnp.einsum("kab,kb->ka", Hcc_d, v)
+        out = out - jnp.zeros((K, 6), v.dtype).at[cam_idx].add(
+            jnp.einsum("oab,ob->oa", A, zp[pt_idx]))
+        out = out * freeC + v * (1.0 - freeC)
+        return out.reshape(-1)
+
+    def precond(r):
+        return (jnp.einsum("kab,kb->ka", P_inv, r.reshape(K, 6))).reshape(-1)
+
+    dxc = -_pcg_solve(matvec, precond, g_red.reshape(-1), cg_iters)
+    dxc = dxc.reshape(K, 6) * freeC
+
+    # landmark back-substitution (edge-wise)
+    up = jnp.zeros((P, 3), gc.dtype).at[pt_idx].add(
+        jnp.einsum("oab,oa->ob", A, dxc[cam_idx]))
+    dxp = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + up)
+    return dxc, dxp
+
+
+@partial(jax.jit, static_argnames=("n_iters", "use_robust", "solver",
+                                   "cg_iters"))
 def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
               lam0, active, n_iters: int, use_robust: bool,
-              delta2: float):
+              delta2: float, solver: str = "dense", cg_iters: int = 48):
     K = Rs.shape[0]
     P = Xs.shape[0]
 
@@ -117,7 +199,6 @@ def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
 
         Hcc = jnp.zeros((K, 6, 6), Rs.dtype).at[edges.cam_idx].add(JcTJc)
         Hpp = jnp.zeros((P, 3, 3), Rs.dtype).at[edges.pt_idx].add(JpTJp)
-        U = jnp.zeros((P, K, 6, 3), Rs.dtype).at[edges.pt_idx, edges.cam_idx].add(JcTJp)
         gc = jnp.zeros((K, 6), Rs.dtype).at[edges.cam_idx].add(gc_o)
         gp = jnp.zeros((P, 3), Rs.dtype).at[edges.pt_idx].add(gp_o)
 
@@ -128,29 +209,38 @@ def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
         Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) + 1e-8 * eye3
 
         Hpp_inv = jnp.linalg.inv(Hpp_d)                       # [P,3,3]
-
-        # Schur complement (MXU einsums over the dense block grid)
-        M = jnp.einsum("pkab,pbc->pkac", U, Hpp_inv)          # [P,K,6,3]
-        S_sub = jnp.einsum("pkac,plbc->kalb", M, U)           # [K,6,K,6]
-        S = -S_sub
-        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
-        g_red = gc - jnp.einsum("pkac,pc->ka", M, gp)         # [K,6]
-
-        # gauge: fixed cameras get identity rows/cols and zero gradient
         free = (~fixed).astype(Rs.dtype)
-        S = S * free[:, None, None, None] * free[None, None, :, None]
-        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
-            jnp.einsum("k,ab->kab", 1.0 - free, jnp.eye(6, dtype=Rs.dtype))
-        )
-        g_red = g_red * free[:, None]
 
-        dxc = -jnp.linalg.solve(S.reshape(6 * K, 6 * K), g_red.reshape(-1))
-        dxc = dxc.reshape(K, 6)
-        dxp = -jnp.einsum(
-            "pab,pb->pa",
-            Hpp_inv,
-            gp + jnp.einsum("pkac,ka->pc", U, dxc),
-        )
+        if solver == "cg":
+            dxc, dxp = _solve_reduced_cg(
+                Hcc_d, Hpp_inv, JcTJp, gc, gp, edges, free, K, cg_iters)
+        else:
+            U = jnp.zeros((P, K, 6, 3), Rs.dtype).at[
+                edges.pt_idx, edges.cam_idx].add(JcTJp)
+
+            # Schur complement (MXU einsums over the dense block grid)
+            M = jnp.einsum("pkab,pbc->pkac", U, Hpp_inv)      # [P,K,6,3]
+            S_sub = jnp.einsum("pkac,plbc->kalb", M, U)       # [K,6,K,6]
+            S = -S_sub
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+            g_red = gc - jnp.einsum("pkac,pc->ka", M, gp)     # [K,6]
+
+            # gauge: fixed cameras get identity rows/cols, zero gradient
+            S = S * free[:, None, None, None] * free[None, None, :, None]
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+                jnp.einsum("k,ab->kab", 1.0 - free,
+                           jnp.eye(6, dtype=Rs.dtype))
+            )
+            g_red = g_red * free[:, None]
+
+            dxc = -jnp.linalg.solve(S.reshape(6 * K, 6 * K),
+                                    g_red.reshape(-1))
+            dxc = dxc.reshape(K, 6)
+            dxp = -jnp.einsum(
+                "pab,pb->pa",
+                Hpp_inv,
+                gp + jnp.einsum("pkac,ka->pc", U, dxc),
+            )
 
         Rs1, ts1 = jax.vmap(se3.retract)(Rs, ts, dxc)
         Xs1 = Xs + dxp
@@ -182,21 +272,32 @@ def bundle_adjust(
     cam: CameraParams,
     cfg: SolverConfig = SolverConfig(),
     two_phase: bool = True,
+    solver: str = "auto",
 ) -> BAResult:
     """Local/global BA.  fixed: [K] bool gauge mask (at least one True).
 
     two_phase=True follows the reference local-BA schedule (5 its, outlier
     edge removal at chi2 > 5.991 or z<=0, 10 more its).  two_phase=False runs
     cfg.global_ba_iters robust iterations (init/global BA,
-    Optimizer.cc:38-152)."""
+    Optimizer.cc:38-152).
+
+    solver: "dense" materializes the [P,K,6,3] Schur block grid and solves
+    the reduced [6K,6K] system directly (fastest at local-BA sizes);
+    "cg" is the matrix-free preconditioned-CG path (city-scale global BA —
+    the block grid at 32k points x 512 KFs would be ~1.2 GB/iteration);
+    "auto" picks by block-grid footprint."""
     delta2 = cfg.huber_delta2
     lam = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
     active = edges.valid.astype(Rs.dtype)
+    if solver == "auto":
+        grid_mb = Xs.shape[0] * Rs.shape[0] * 18 * 4 / 1e6
+        solver = "cg" if grid_mb > 256.0 else "dense"
 
     if two_phase:
         Rs, ts, Xs, lam, _ = _lm_phase(
             Rs, ts, Xs, fixed, edges, cam, lam, active,
             n_iters=cfg.local_ba_iters1, use_robust=True, delta2=delta2,
+            solver=solver,
         )
         r, _, _, z = _edge_terms(Rs, ts, Xs, edges, cam)
         c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
@@ -205,11 +306,13 @@ def bundle_adjust(
         Rs, ts, Xs, lam, cost = _lm_phase(
             Rs, ts, Xs, fixed, edges, cam, lam, active,
             n_iters=cfg.local_ba_iters2, use_robust=False, delta2=delta2,
+            solver=solver,
         )
     else:
         Rs, ts, Xs, lam, cost = _lm_phase(
             Rs, ts, Xs, fixed, edges, cam, lam, active,
             n_iters=cfg.global_ba_iters, use_robust=True, delta2=delta2,
+            solver=solver,
         )
 
     r, _, _, z = _edge_terms(Rs, ts, Xs, edges, cam)

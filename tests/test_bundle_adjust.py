@@ -140,3 +140,70 @@ def test_global_ba_single_phase(rng):
                            p["edges"], p["cam"], two_phase=False)
     rmse1, _ = reproj_rmse(res.R, res.t, res.points, p["edges"], p["cam"])
     assert rmse1 < 0.6
+
+
+def test_cg_solver_matches_dense(rng):
+    """The matrix-free PCG Schur path must converge to the same optimum as
+    the dense reduced solve."""
+    p = build_problem(rng, noise=0.2)
+    res_d = ba.bundle_adjust(p["Rs0"], p["ts0"], p["X0"], p["fixed"],
+                             p["edges"], p["cam"], solver="dense")
+    res_c = ba.bundle_adjust(p["Rs0"], p["ts0"], p["X0"], p["fixed"],
+                             p["edges"], p["cam"], solver="cg")
+    rmse_d, _ = reproj_rmse(res_d.R, res_d.t, res_d.points, p["edges"], p["cam"])
+    rmse_c, _ = reproj_rmse(res_c.R, res_c.t, res_c.points, p["edges"], p["cam"])
+    assert rmse_c < rmse_d * 1.1 + 0.05, (rmse_d, rmse_c)
+    for k in range(1, 6):
+        dR = np.asarray(res_c.R)[k] @ np.asarray(res_d.R)[k].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 0.05, ang
+        assert np.linalg.norm(np.asarray(res_c.t)[k]
+                              - np.asarray(res_d.t)[k]) < 5e-3
+
+
+def test_cg_solver_city_scale_smoke(rng):
+    """Global-BA scale (256 KFs x 16k points) through the CG path: the dense
+    block grid would be ~300 MB/iter; CG must run within memory and reduce
+    the cost.  Shapes are the scaled problem; iteration count kept tiny for
+    CI wall clock."""
+    import time
+    from orb_slam_tpu.config import SolverConfig
+    n_kf, n_pts = 256, 16384
+    X = make_scene(rng, n_pts, depth_range=(5.0, 40.0), spread=60.0)
+    Rs, ts, cam_idx, pt_idx, uvs = [], [], [], [], []
+    for k in range(n_kf):
+        R = rotmat([0, 1, 0], np.radians(0.05 * k))
+        t = np.array([-0.1 * k, 0, 0], np.float32)
+        Rs.append(R); ts.append(t)
+    Rs = np.stack(Rs); ts = np.stack(ts)
+    # each camera observes 256 of its visible points (sparse, real-map-like)
+    for k in range(n_kf):
+        xc_all = X @ Rs[k].T + ts[k]
+        vis = np.where(xc_all[:, 2] > 2.0)[0]
+        sel = rng.choice(vis, 256, replace=False)
+        xc = xc_all[sel]
+        uv = np.stack([500 * xc[:, 0] / xc[:, 2] + 320,
+                       500 * xc[:, 1] / xc[:, 2] + 240], 1)
+        cam_idx.append(np.full(256, k)); pt_idx.append(sel)
+        uvs.append(uv + rng.normal(0, 0.3, uv.shape))
+    edges = ba.BAEdges(
+        cam_idx=jnp.asarray(np.concatenate(cam_idx).astype(np.int32)),
+        pt_idx=jnp.asarray(np.concatenate(pt_idx).astype(np.int32)),
+        uv=jnp.asarray(np.concatenate(uvs).astype(np.float32)),
+        inv_sigma2=jnp.ones(n_kf * 256, jnp.float32),
+        valid=jnp.ones(n_kf * 256, bool))
+    Rs0 = Rs.copy(); ts0 = ts + rng.normal(0, 0.01, ts.shape).astype(np.float32)
+    X0 = (X + rng.normal(0, 0.05, X.shape)).astype(np.float32)
+    fixed = jnp.asarray(np.arange(n_kf) == 0)
+    cam = make_cam()
+    cfg = SolverConfig(global_ba_iters=2)
+    t0 = time.perf_counter()
+    res = ba.bundle_adjust(jnp.asarray(Rs0), jnp.asarray(ts0),
+                           jnp.asarray(X0), fixed, edges, cam, cfg,
+                           two_phase=False, solver="cg")
+    dt = time.perf_counter() - t0
+    rmse0, _ = reproj_rmse(Rs0, ts0, X0, edges, cam)
+    rmse1, _ = reproj_rmse(res.R, res.t, res.points, edges, cam)
+    print(f"city-scale CG BA: {rmse0:.2f} -> {rmse1:.2f} px, "
+          f"{dt:.1f}s for 2 iters")
+    assert rmse1 < rmse0 * 0.7
