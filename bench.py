@@ -135,7 +135,10 @@ def main():
         extractor=ExtractorConfig(n_features=1000, max_keypoints=1024,
                                   n_levels=8),
         matcher=MatcherConfig(window_init=120),
-        tracker=TrackerConfig(async_mapping=True),
+        # frame_batch amortizes the runtime's fixed per-dispatch cost
+        # (25+ ms/call on the tunneled TPU once any host readback happened)
+        # across 12 frames: 1 scan dispatch + 1 blob fetch per batch
+        tracker=TrackerConfig(async_mapping=True, frame_batch=12),
     )
     system = System.create(cfg)
     K = cfg.camera.K
@@ -169,11 +172,14 @@ def main():
 
     n_kf0 = system.tracker.slam_map.n_kf
     per_frame = []
+    kf_frames = []
     t_all0 = time.perf_counter()
     for j, img in enumerate(frames):
         t0 = time.perf_counter()
-        system.process_image(img, timestamp=(i + j) / 30.0)
+        m = system.process_image(img, timestamp=(i + j) / 30.0)
         per_frame.append(time.perf_counter() - t0)
+        if m.get("event") == "keyframe_inserted" or "kf_id" in m:
+            kf_frames.append(j)
     dt = time.perf_counter() - t_all0
     system.tracker.finish()
 
@@ -190,6 +196,12 @@ def main():
     print(f"# per-frame ms: p50={np.percentile(per_frame, 50):.1f} "
           f"p90={np.percentile(per_frame, 90):.1f} "
           f"max={per_frame.max():.1f}")
+    if kf_frames:
+        kf_ms = per_frame[np.asarray(kf_frames)]
+        other = np.delete(per_frame, np.asarray(kf_frames))
+        print(f"# keyframe-frame ms: mean={kf_ms.mean():.1f} "
+              f"max={kf_ms.max():.1f} (n={len(kf_frames)}); "
+              f"tracked-frame p50={np.percentile(other, 50):.1f}")
     assert tracked >= int(0.9 * n_frames), "tracking degraded during bench"
 
     print(json.dumps({

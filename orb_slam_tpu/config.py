@@ -135,6 +135,11 @@ class TrackerConfig:
     # (src/main.cc:123-133); keyframe insertion is skipped while the worker
     # is busy (SetAcceptKeyFrames backpressure, src/LocalMapping.cc:522-532)
     async_mapping: bool = False
+    # tracked frames dispatched per device program (frame_step_scan):
+    # B > 1 amortizes the fixed per-dispatch cost of latency-bound runtimes
+    # (tunneled/multi-tenant accelerators) at the price of up to B-1 frames
+    # of keyframe-decision lag.  1 = per-frame dispatch (lowest latency).
+    frame_batch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

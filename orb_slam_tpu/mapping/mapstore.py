@@ -228,6 +228,29 @@ class SlamMap:
         # kf_id is a host int -> static dynamic-update-slice, fast-path safe
         self.state = s._replace(kf_obs=s.kf_obs.at[kf_id].set(row))
 
+    _OBS_MULTI_CAP = 4096
+
+    def set_observations_multi(self, kf_ids, slot_idx, point_ids):
+        """Associate (keyframe, slot) -> point for a flat batch of triples
+        in ONE device program (padded to a fixed capacity so the program
+        compiles once).  Used by the keyframe-rate map builder to commit a
+        whole multi-neighbor stage without per-keyframe dispatches."""
+        M = len(kf_ids)
+        cap = self._OBS_MULTI_CAP
+        assert M <= cap, (M, cap)
+        pad = cap - M
+        kf_ids = np.concatenate([np.asarray(kf_ids, np.int32),
+                                 np.zeros(pad, np.int32)])
+        slot_idx = np.concatenate([np.asarray(slot_idx, np.int32),
+                                   np.zeros(pad, np.int32)])
+        point_ids = np.concatenate([np.asarray(point_ids, np.int32),
+                                    np.zeros(pad, np.int32)])
+        valid = np.concatenate([np.ones(M, bool), np.zeros(pad, bool)])
+        s = self.state
+        self.state = s._replace(kf_obs=_set_obs_flat_jit(
+            s.kf_obs, jnp.asarray(kf_ids), jnp.asarray(slot_idx),
+            jnp.asarray(point_ids), jnp.asarray(valid)))
+
     def set_pose(self, kf_id: int, R, t):
         s = self.state
         self.state = s._replace(
@@ -313,3 +336,12 @@ def point_observation_counts_by_level(state: MapState,
     counts = jnp.zeros(((P + 1) * n_levels,), jnp.int32).at[flat].add(1)
     by_level = counts[:P * n_levels].reshape(P, n_levels)
     return jnp.cumsum(by_level, axis=1) * state.mp_valid[:, None]
+
+
+@jax.jit
+def _set_obs_flat_jit(kf_obs, kf_ids, slots, pids, valid):
+    K, N = kf_obs.shape
+    flat_idx = jnp.where(valid, kf_ids * N + slots, K * N)
+    padded = jnp.concatenate(
+        [kf_obs.reshape(-1), jnp.zeros((1,), kf_obs.dtype)])
+    return padded.at[flat_idx].set(pids)[:K * N].reshape(K, N)

@@ -21,9 +21,13 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-INF_DIST = jnp.int32(1 << 20)
+# plain Python/numpy scalar, NOT jnp.int32: a module-level device array
+# captured as a jit closure constant demotes the axon relay to a permanent
+# slow mode for the whole process (measured: every dispatch 0.1ms -> 30ms+)
+INF_DIST = np.int32(1 << 20)
 TWO_PI = 6.283185307179586
 
 

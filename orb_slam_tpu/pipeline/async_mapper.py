@@ -34,6 +34,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..mapping import mapstore
+from ..utils.timing import GLOBAL_TIMER as _timer
 
 
 def snapshot_map(smap: mapstore.SlamMap) -> mapstore.SlamMap:
@@ -129,7 +130,9 @@ class AsyncMapper:
                         self.loop_closer.kf_bow.pop(ck, None)
                 if self.loop_closer is not None and \
                         self.loop_closer.voc is not None:
-                    lc_metrics = self.loop_closer.process_keyframe(smap, kf)
+                    with _timer.stage("mapping", "loopClosing"):
+                        lc_metrics = self.loop_closer.process_keyframe(
+                            smap, kf)
                     metrics.update(lc_metrics)
                 self._out.put(MappingResult(
                     smap=smap, kf=kf, metrics=metrics,

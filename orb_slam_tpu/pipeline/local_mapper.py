@@ -24,6 +24,7 @@ from ..config import SystemConfig
 from ..geometry import camera as cam_mod
 from ..mapping import mapstore
 from ..solvers import bundle_adjust as ba
+from ..utils.timing import GLOBAL_TIMER as _timer
 from .. import native
 from . import mapping_kernels as mk
 
@@ -33,21 +34,57 @@ class LocalMapper:
     cfg: SystemConfig
     cam: cam_mod.CameraParams
     last_culled_kfs: list = None
+    # host mirrors of device arrays keyed by array identity: every
+    # device->host fetch costs a fixed-latency round trip (25+ ms on the
+    # tunneled TPU), so the keyframe-rate host logic reads mirrors that
+    # refresh only when the underlying array object changed
+    _mirrors: dict = None
+
+    def _m(self, arr, key: str) -> np.ndarray:
+        if self._mirrors is None:
+            self._mirrors = {}
+        ent = self._mirrors.get(key)
+        if ent is None or ent[0] is not arr:
+            self._mirrors[key] = ent = (arr, np.asarray(arr))
+        return ent[1]
+
+    def _covis_row_np(self, st, kf: int) -> np.ndarray:
+        """Covisibility weights of kf vs every keyframe, on host mirrors
+        (mapstore.covisibility_row is the device form)."""
+        obs = self._m(st.kf_obs, "kf_obs")
+        kf_valid = self._m(st.kf_valid, "kf_valid")
+        P = self.cfg.map.max_points
+        seen = np.zeros(P + 1, bool)
+        own = obs[kf]
+        seen[own[own >= 0]] = True
+        row = (seen[np.clip(obs, 0, P)] & (obs >= 0)).sum(axis=1)
+        row = row * kf_valid
+        row[kf] = 0
+        return row.astype(np.int64)
 
     # ------------------------------------------------------------------
     def process_keyframe(self, smap: mapstore.SlamMap, kf: int) -> dict:
         """Reference stage order (LocalMapping::Run, src/LocalMapping.cc:46-119):
         process -> cull points -> triangulate -> fuse neighbors -> local BA."""
         metrics = {}
-        self.refresh_point_stats(smap)
-        metrics["culled_points"] = self.cull_points(smap, kf)
-        metrics["new_points"] = self.triangulate_new_points(smap, kf)
-        self.refresh_point_stats(smap)
-        metrics["fused"] = self.fuse_neighbors(smap, kf)
-        self.refresh_point_stats(smap)
-        self.update_descriptors(smap, kf)
-        self.local_ba(smap, kf)
-        metrics["culled_kfs"] = self.cull_keyframes(smap, kf)
+        with _timer.stage("mapping", "pointStats"):
+            self.refresh_point_stats(smap)
+        with _timer.stage("mapping", "cullPoints"):
+            metrics["culled_points"] = self.cull_points(smap, kf)
+        with _timer.stage("mapping", "triangulate"):
+            metrics["new_points"] = self.triangulate_new_points(smap, kf)
+        with _timer.stage("mapping", "pointStats"):
+            self.refresh_point_stats(smap)
+        with _timer.stage("mapping", "fuse"):
+            metrics["fused"] = self.fuse_neighbors(smap, kf)
+        with _timer.stage("mapping", "pointStats"):
+            self.refresh_point_stats(smap)
+        with _timer.stage("mapping", "updateDescriptors"):
+            self.update_descriptors(smap, kf)
+        with _timer.stage("mapping", "localBA"):
+            self.local_ba(smap, kf)
+        with _timer.stage("mapping", "cullKeyframes"):
+            metrics["culled_kfs"] = self.cull_keyframes(smap, kf)
         return metrics
 
     # ------------------------------------------------------------------
@@ -55,39 +92,14 @@ class LocalMapper:
                            max_obs: int = 8, cap: int = 2048):
         """Refresh representative descriptors of the landmarks around kf:
         min-median-Hamming medoid over each point's observations
-        (MapPoint::ComputeDistinctiveDescriptors)."""
+        (MapPoint::ComputeDistinctiveDescriptors).  One device program —
+        the observation gather runs as a sort+searchsorted on device
+        (mapping_kernels.refresh_medoid_descriptors), no host transfer."""
         st = smap.state
-        obs_kf = np.asarray(st.kf_obs[kf])
-        pids = np.unique(obs_kf[obs_kf >= 0])[:cap]
-        if len(pids) == 0:
-            return
-        # host gather of per-point observation descriptor sets
-        K, N = st.kf_obs.shape
-        all_obs = np.asarray(st.kf_obs)
-        flat = all_obs.reshape(-1)
-        order = np.argsort(flat, kind="stable")
-        sorted_pid = flat[order]
-        lo = np.searchsorted(sorted_pid, pids, side="left")
-        hi = np.searchsorted(sorted_pid, pids, side="right")
-
-        all_desc = np.asarray(st.kf_desc).reshape(K * N, 8)
-        Pl = len(pids)
-        sets = np.zeros((cap, max_obs, 8), np.uint32)
-        valid = np.zeros((cap, max_obs), bool)
-        for i in range(Pl):
-            idx = order[lo[i]:hi[i]][:max_obs]
-            sets[i, : len(idx)] = all_desc[idx]
-            valid[i, : len(idx)] = True
-
-        best, has = mk.medoid_descriptors(jnp.asarray(sets), jnp.asarray(valid))
-        from ..ops import scatter as scatter_ops
-        sel = jnp.asarray(np.concatenate(
-            [pids, np.zeros(cap - Pl, np.int64)]))
-        active = jnp.asarray(np.concatenate(
-            [np.ones(Pl, bool), np.zeros(cap - Pl, bool)])) & has
         smap.state = st._replace(
-            mp_desc=scatter_ops.scatter_set_rows(
-                st.mp_desc, sel, best, active=active))
+            mp_desc=mk.refresh_medoid_descriptors(
+                st.kf_obs, st.kf_desc, st.mp_desc, jnp.int32(kf),
+                max_obs=max_obs, cap=cap))
 
     # ------------------------------------------------------------------
     def refresh_point_stats(self, smap: mapstore.SlamMap):
@@ -109,10 +121,7 @@ class LocalMapper:
             # 20 covisible KFs searched (src/LocalMapping.cc:227)
             max_neighbors = self.cfg.local_mapping.triangulation_neighbor_kfs
         st = smap.state
-        P = self.cfg.map.max_points
-        weights = np.asarray(
-            mapstore.covisibility_row(st, kf, P)
-        )
+        weights = self._covis_row_np(st, kf)
         order = np.argsort(-weights)
         neighbors = [int(k) for k in order[:max_neighbors] if weights[k] > 0]
         if not neighbors:
@@ -120,57 +129,61 @@ class LocalMapper:
             p = int(smap.parent[kf])
             if p >= 0:
                 neighbors = [p]
-        K = jnp.asarray(self.cfg.camera.K)
 
-        scale2 = self.cfg.extractor.sigma2
-        lv1 = np.asarray(st.kf_level[kf])
-        s2_1 = jnp.asarray(scale2[np.clip(lv1, 0, len(scale2) - 1)])
-        n_added = 0
-
-        # baseline gate: reject neighbors with baseline/median-depth < 0.01
-        # (src/LocalMapping.cc:255-266)
-        c_kf = -np.asarray(st.kf_R[kf]).T @ np.asarray(st.kf_t[kf])
+        # baseline gate on host mirrors (src/LocalMapping.cc:255-266)
+        kf_R = self._m(st.kf_R, "kf_R")
+        kf_t = self._m(st.kf_t, "kf_t")
+        centers = -np.einsum("kji,kj->ki", kf_R, kf_t)
         med_depth = self._median_depth(smap, kf)
+        if med_depth > 0:
+            base = np.linalg.norm(centers[neighbors] - centers[kf], axis=1)
+            ratio = self.cfg.local_mapping.min_baseline_depth_ratio
+            neighbors = [nb for nb, b in zip(neighbors, base)
+                         if b / med_depth >= ratio]
+        if not neighbors:
+            return 0
 
-        for nb in neighbors:
-            c_nb = -np.asarray(st.kf_R[nb]).T @ np.asarray(st.kf_t[nb])
-            baseline = np.linalg.norm(c_kf - c_nb)
-            if med_depth > 0 and baseline / med_depth < \
-                    self.cfg.local_mapping.min_baseline_depth_ratio:
-                continue
-            st = smap.state  # re-read (obs updated each iteration)
-            free1 = np.asarray(st.kf_kp_valid[kf]) & (np.asarray(st.kf_obs[kf]) < 0)
-            free2 = np.asarray(st.kf_kp_valid[nb]) & (np.asarray(st.kf_obs[nb]) < 0)
-            lv2 = np.asarray(st.kf_level[nb])
-            s2_2 = jnp.asarray(scale2[np.clip(lv2, 0, len(scale2) - 1)])
-            res = mk.triangulate_between(
-                st.kf_xy[kf], st.kf_desc[kf], st.kf_level[kf], st.kf_angle[kf],
-                jnp.asarray(free1),
-                st.kf_xy[nb], st.kf_desc[nb], st.kf_level[nb], st.kf_angle[nb],
-                jnp.asarray(free2),
-                st.kf_R[kf], st.kf_t[kf], st.kf_R[nb], st.kf_t[nb],
-                s2_1, s2_2, K, self.cam,
-                max_dist=self.cfg.matcher.th_low,
-                epipolar_chi2=self.cfg.local_mapping.epipolar_chi2,
-                reproj_chi2=self.cfg.local_mapping.reproj_chi2,
-                scale_factor=self.cfg.extractor.scale_factor,
-            )
-            ok = np.asarray(res.ok)
-            if not ok.any():
-                continue
-            if smap.n_mp + int(ok.sum()) > self.cfg.map.max_points:
-                ok = ok & (np.cumsum(ok) <= self.cfg.map.max_points - smap.n_mp)
-            ids = smap.add_points(
-                res.X, st.kf_desc[kf], jnp.zeros_like(res.X),
-                jnp.zeros(ok.shape[0]), jnp.full(ok.shape[0], np.inf),
-                kf, ok,
-            )
-            slots1 = np.where(ok)[0]
-            slots2 = np.asarray(res.slot2)[slots1]
-            smap.set_observations(kf, jnp.asarray(slots1), jnp.asarray(ids[slots1]))
-            smap.set_observations(nb, jnp.asarray(slots2), jnp.asarray(ids[slots1]))
-            n_added += int(ok.sum())
-        return n_added
+        # ONE program for all neighbor pairs (first neighbor in covisibility
+        # order wins each slot — the reference's sequential association)
+        Nn = max_neighbors
+        nb_idx = np.zeros(Nn, np.int32)
+        nb_idx[: len(neighbors)] = neighbors
+        nb_valid = np.zeros(Nn, bool)
+        nb_valid[: len(neighbors)] = True
+        res = mk.triangulate_multi(
+            jnp.int32(kf), jnp.asarray(nb_idx), jnp.asarray(nb_valid),
+            st.kf_xy, st.kf_desc, st.kf_level, st.kf_angle,
+            st.kf_kp_valid, st.kf_obs, st.kf_R, st.kf_t,
+            jnp.asarray(self.cfg.extractor.sigma2),
+            jnp.asarray(self.cfg.camera.K), self.cam,
+            max_dist=self.cfg.matcher.th_low,
+            epipolar_chi2=self.cfg.local_mapping.epipolar_chi2,
+            reproj_chi2=self.cfg.local_mapping.reproj_chi2,
+            scale_factor=self.cfg.extractor.scale_factor,
+        )
+        blob = np.asarray(jnp.concatenate([
+            res.ok.astype(jnp.float32)[:, None], res.X,
+            res.slot2.astype(jnp.float32)[:, None],
+            res.nb_of.astype(jnp.float32)[:, None]], axis=1))
+        ok = blob[:, 0] > 0
+        if not ok.any():
+            return 0
+        if smap.n_mp + int(ok.sum()) > self.cfg.map.max_points:
+            ok = ok & (np.cumsum(ok) <= self.cfg.map.max_points - smap.n_mp)
+        ids = smap.add_points(
+            res.X, st.kf_desc[kf], jnp.zeros_like(res.X),
+            jnp.zeros(ok.shape[0]), jnp.full(ok.shape[0], np.inf),
+            kf, ok,
+        )
+        slots1 = np.where(ok)[0]
+        slots2 = blob[slots1, 4].astype(np.int32)
+        nb_of = blob[slots1, 5].astype(np.int32)
+        # one batched commit: kf rows + each winning neighbor's row
+        smap.set_observations_multi(
+            np.concatenate([np.full(len(slots1), kf, np.int32), nb_of]),
+            np.concatenate([slots1.astype(np.int32), slots2]),
+            np.concatenate([ids[slots1], ids[slots1]]))
+        return int(ok.sum())
 
     def fuse_neighbors(self, smap: mapstore.SlamMap, kf: int,
                        max_neighbors: int | None = None) -> int:
@@ -187,13 +200,13 @@ class LocalMapper:
         lcfg = self.cfg.local_mapping
         if max_neighbors is None:
             max_neighbors = lcfg.fuse_neighbor_kfs
-        weights = np.asarray(mapstore.covisibility_row(st, kf, P))
+        weights = self._covis_row_np(st, kf)
         order = np.argsort(-weights)
         neighbors = [int(k) for k in order[:max_neighbors] if weights[k] > 0]
         # extend with second neighbors (src/LocalMapping.cc:402-409)
         seen = set(neighbors) | {kf}
         for nb in list(neighbors):
-            w2 = np.asarray(mapstore.covisibility_row(smap.state, nb, P))
+            w2 = self._covis_row_np(smap.state, nb)
             order2 = np.argsort(-w2)
             for k2 in order2[: lcfg.fuse_second_neighbor_kfs]:
                 k2 = int(k2)
@@ -203,74 +216,84 @@ class LocalMapper:
         if not neighbors:
             return 0
         n_fused = 0
-        fuse_points_into = lambda tgt, cand: self._fuse_candidates_into(
-            smap, tgt, cand)
+
+        # host working copies: all merge bookkeeping (obs writes, Replace
+        # remaps, observation counts) runs on numpy, with ONE device upload
+        # at the end — the previous per-candidate .at[].set calls cost a
+        # fixed-latency dispatch each
+        st = smap.state
+        P = self.cfg.map.max_points
+        ctx = dict(
+            obs=self._m(st.kf_obs, "kf_obs").copy(),
+            mp_valid=self._m(st.mp_valid, "mp_valid").copy(),
+            changed=False)
 
         # neighbors' landmarks -> new keyframe
-        st = smap.state
-        obs_nb = np.asarray(st.kf_obs)[neighbors]
+        obs_nb = ctx["obs"][neighbors]
         cand = np.unique(obs_nb[obs_nb >= 0])
-        own = set(np.asarray(st.kf_obs[kf])[np.asarray(st.kf_obs[kf]) >= 0].tolist())
+        own = set(ctx["obs"][kf][ctx["obs"][kf] >= 0].tolist())
         cand = np.asarray([c for c in cand if c not in own], np.int64)
-        n_fused += fuse_points_into(kf, cand)
+        n_fused += self._fuse_candidates_into(smap, kf, cand, ctx)
 
         # new keyframe's landmarks -> each neighbor
         for nb in neighbors:
-            st = smap.state
-            own_kf = np.asarray(st.kf_obs[kf])
+            own_kf = ctx["obs"][kf]
             own_ids = np.unique(own_kf[own_kf >= 0])
-            nb_obs = np.asarray(st.kf_obs[nb])
+            nb_obs = ctx["obs"][nb]
             nb_own = set(nb_obs[nb_obs >= 0].tolist())
-            cand = np.asarray([c for c in own_ids if c not in nb_own], np.int64)
-            n_fused += fuse_points_into(nb, cand)
+            cand = np.asarray([c for c in own_ids if c not in nb_own],
+                              np.int64)
+            n_fused += self._fuse_candidates_into(smap, nb, cand, ctx)
+
+        if ctx["changed"]:
+            smap.state = smap.state._replace(
+                kf_obs=jnp.asarray(ctx["obs"]),
+                mp_valid=jnp.asarray(ctx["mp_valid"]))
         return n_fused
 
     def _fuse_candidates_into(self, smap: mapstore.SlamMap, target_kf: int,
-                              cand_ids: np.ndarray) -> int:
+                              cand_ids: np.ndarray, ctx: dict) -> int:
         """Project candidate landmarks into target_kf, add missing
-        observations, merge duplicates (ORBmatcher::Fuse + MapPoint::Replace
-        host side)."""
+        observations, merge duplicates (ORBmatcher::Fuse + MapPoint::Replace).
+
+        Device work is ONE program + ONE fetch; the merge bookkeeping runs
+        on ctx's numpy working copies (committed once by fuse_neighbors)."""
+        cand_ids = cand_ids[ctx["mp_valid"][cand_ids]] if len(cand_ids) \
+            else cand_ids
         if len(cand_ids) == 0:
             return 0
         st = smap.state
-        P = self.cfg.map.max_points
-        scale2 = self.cfg.extractor.sigma2
         cap = self.cfg.map.local_ba_max_points
         cand_ids = cand_ids[:cap]
         pad = cap - len(cand_ids)
-        sel = jnp.asarray(np.concatenate([cand_ids, np.zeros(pad, np.int64)]))
-        cvalid = jnp.asarray(
-            np.concatenate([np.ones(len(cand_ids), bool), np.zeros(pad, bool)]))
-        lv = np.asarray(st.kf_level[target_kf])
-        s2 = jnp.asarray(scale2[np.clip(lv, 0, len(scale2) - 1)])
-        slot, ok = mk.fuse_into_keyframe(
-            st.kf_xy[target_kf], st.kf_desc[target_kf],
-            st.kf_level[target_kf], st.kf_kp_valid[target_kf],
-            st.kf_obs[target_kf],
-            st.kf_R[target_kf], st.kf_t[target_kf],
-            st.mp_pos[sel], st.mp_desc[sel],
-            st.mp_valid[sel] & cvalid, sel,
-            s2, self.cam,
-            radius=3.0, max_dist=self.cfg.matcher.th_low,
-        )
-        slot = np.asarray(slot)
-        ok = np.asarray(ok)
-        obs_t = np.array(st.kf_obs[target_kf])  # writable copy
-        obs_counts = np.asarray(mapstore.point_observation_counts(st))
-        kf_obs_all = st.kf_obs
-        mp_valid = st.mp_valid
+        sel = np.concatenate([cand_ids, np.zeros(pad, np.int64)])
+        cvalid = np.concatenate(
+            [np.ones(len(cand_ids), bool), np.zeros(pad, bool)])
+        blob = np.asarray(mk.fuse_into_keyframe_tables(
+            st.kf_xy, st.kf_desc, st.kf_level, st.kf_kp_valid,
+            st.kf_R, st.kf_t,
+            jnp.int32(target_kf), jnp.asarray(ctx["obs"][target_kf]),
+            st.mp_pos, st.mp_desc,
+            jnp.asarray(sel, jnp.int32), jnp.asarray(cvalid),
+            jnp.asarray(self.cfg.extractor.sigma2), self.cam,
+            np.float32(3.0), np.int32(self.cfg.matcher.th_low)))
+        slot, ok = blob[:, 0], blob[:, 1] > 0
+
+        obs = ctx["obs"]
+        P = self.cfg.map.max_points
+        obs_counts = np.bincount(obs[obs >= 0], minlength=P)
+        obs_t = obs[target_kf]
         fused = 0
         replace_map = {}
         for ci in np.where(ok)[0]:
             pid = int(cand_ids[ci]) if ci < len(cand_ids) else -1
-            if pid < 0 or not bool(np.asarray(mp_valid)[pid]):
+            if pid < 0 or not ctx["mp_valid"][pid]:
                 continue
             s_ = int(slot[ci])
             cur = int(obs_t[s_])
             if cur == pid:
                 continue
             if cur < 0:
-                kf_obs_all = kf_obs_all.at[target_kf, s_].set(pid)
                 obs_t[s_] = pid
                 fused += 1
             else:
@@ -285,25 +308,24 @@ class LocalMapper:
             keeps = np.fromiter((replace_map[d] for d in drops), np.int64)
             lut = np.arange(P + 1, dtype=np.int32)
             lut[drops] = keeps.astype(np.int32)
-            # native merge-remap with per-keyframe dedup (explicit copy:
-            # jax buffers are read-only)
-            obs_np = np.array(np.asarray(kf_obs_all), np.int32, copy=True)
-            native.remap_observations(obs_np, lut)
-            kf_obs_all = jnp.asarray(obs_np)
-            mp_valid = mp_valid.at[jnp.asarray(drops)].set(False)
-        smap.state = smap.state._replace(kf_obs=kf_obs_all, mp_valid=mp_valid)
+            # native merge-remap with per-keyframe dedup, on the host copy
+            native.remap_observations(obs, lut)
+            ctx["mp_valid"][drops] = False
+        if fused:
+            ctx["changed"] = True
         return fused
 
     def _median_depth(self, smap, kf) -> float:
-        """ComputeSceneMedianDepth (src/KeyFrame.cc:659-689)."""
+        """ComputeSceneMedianDepth (src/KeyFrame.cc:659-689), on host
+        mirrors (zero device round trips)."""
         st = smap.state
-        obs = np.asarray(st.kf_obs[kf])
+        obs = self._m(st.kf_obs, "kf_obs")[kf]
         pid = obs[obs >= 0]
         if len(pid) == 0:
             return -1.0
-        X = np.asarray(st.mp_pos)[pid]
-        R = np.asarray(st.kf_R[kf])
-        t = np.asarray(st.kf_t[kf])
+        X = self._m(st.mp_pos, "mp_pos")[pid]
+        R = self._m(st.kf_R, "kf_R")[kf]
+        t = self._m(st.kf_t, "kf_t")[kf]
         z = (X @ R.T + t)[:, 2]
         return float(np.median(z)) if len(z) else -1.0
 
@@ -331,9 +353,10 @@ class LocalMapper:
         lut = np.full(mc.max_points + 1, -1, np.int32)
         lut[point_ids] = np.arange(n_pt, dtype=np.int32)
 
-        obs = np.asarray(st.kf_obs)[cams]          # [n_cam, N]
-        kpv = np.asarray(st.kf_kp_valid)[cams]
-        cam_idx, pt_idx, slot_idx, ev = native.pack_ba_edges(obs, kpv, lut)
+        obs = self._m(st.kf_obs, "kf_obs")[cams]          # [n_cam, N]
+        kpv = self._m(st.kf_kp_valid, "kf_kp_valid")[cams]
+        cam_idx, pt_idx, slot_idx, ev = native.pack_ba_edges(
+            np.ascontiguousarray(obs), np.ascontiguousarray(kpv), lut)
 
         O_cap = K_cap * N
         pad = O_cap - len(cam_idx)
@@ -342,9 +365,9 @@ class LocalMapper:
         slot_idx = np.concatenate([slot_idx, np.zeros(pad, np.int32)])
         ev = np.concatenate([ev, np.zeros(pad, bool)])
 
-        uv = np.asarray(st.kf_xy)[cams].reshape(-1, 2)
+        uv = self._m(st.kf_xy, "kf_xy")[cams].reshape(-1, 2)
         uv = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
-        lev = np.asarray(st.kf_level)[cams].reshape(-1)
+        lev = self._m(st.kf_level, "kf_level")[cams].reshape(-1)
         lev = np.concatenate([lev, np.zeros(pad, np.int64)])
         s2 = self.cfg.extractor.sigma2
         inv_s2 = 1.0 / s2[np.clip(lev, 0, len(s2) - 1)]
@@ -358,57 +381,61 @@ class LocalMapper:
         )
 
         cam_pad = K_cap - n_cam
-        Rs = jnp.concatenate([
-            st.kf_R[jnp.asarray(cams)],
-            jnp.tile(jnp.eye(3, dtype=jnp.float32), (cam_pad, 1, 1)),
-        ])
-        ts = jnp.concatenate([
-            st.kf_t[jnp.asarray(cams)], jnp.zeros((cam_pad, 3), jnp.float32)])
+        kf_R_m = self._m(st.kf_R, "kf_R")
+        kf_t_m = self._m(st.kf_t, "kf_t")
+        Rs = np.concatenate([
+            kf_R_m[cams],
+            np.tile(np.eye(3, dtype=np.float32), (cam_pad, 1, 1))])
+        ts = np.concatenate([kf_t_m[cams],
+                             np.zeros((cam_pad, 3), np.float32)])
         fixed_mask = np.zeros(K_cap, bool)
         fixed_mask[len(window):] = True  # fixed kfs + padding
         pt_pad = P_cap - n_pt
-        Xs = jnp.concatenate([
-            st.mp_pos[jnp.asarray(point_ids.astype(np.int64))]
-            if n_pt else jnp.zeros((0, 3), jnp.float32),
-            jnp.zeros((pt_pad, 3), jnp.float32),
-        ])
+        mp_pos_m = self._m(st.mp_pos, "mp_pos")
+        Xs = np.concatenate([
+            mp_pos_m[point_ids] if n_pt else np.zeros((0, 3), np.float32),
+            np.zeros((pt_pad, 3), np.float32)]).astype(np.float32)
+        Rs = jnp.asarray(Rs)
+        ts = jnp.asarray(ts)
+        Xs = jnp.asarray(Xs)
         book = dict(window=window, fixed=fixed_kfs, point_ids=point_ids,
                     cams=cams, slot_idx=slot_idx, cam_idx=cam_idx, ev=ev)
         return Rs, ts, Xs, jnp.asarray(fixed_mask), edges, book
 
     def _write_back(self, smap: mapstore.SlamMap, res: ba.BAResult, book):
+        """Adopt the optimized window poses/points and erase outlier
+        observations (Optimizer.cc:496-521) — ONE device program + one
+        inlier-mask fetch (the previous per-keyframe .at[].set calls cost a
+        fixed-latency dispatch each)."""
         st = smap.state
+        mc = self.cfg.map
+        K_cap = mc.local_ba_max_kfs + mc.local_ba_max_fixed
+        P_cap = mc.local_ba_max_points
         window = book["window"]
         point_ids = book["point_ids"]
-        n_pt = len(point_ids)
-        kf_R = st.kf_R
-        kf_t = st.kf_t
-        for c, k in enumerate(window):
-            kf_R = kf_R.at[k].set(res.R[c])
-            kf_t = kf_t.at[k].set(res.t[c])
-        mp_pos = st.mp_pos
-        if n_pt:
-            from ..ops import scatter as scatter_ops
-            mp_pos = scatter_ops.scatter_set_rows(
-                mp_pos, jnp.asarray(point_ids.astype(np.int64)),
-                res.points[:n_pt])
-        # erase outlier observations (Optimizer.cc:496-521); add-only flat
-        # scatter (axon fast path, ops/scatter.py)
+        n_w, n_pt = len(window), len(point_ids)
+        N = st.kf_obs.shape[1]
+
+        cams = np.zeros(K_cap, np.int32)
+        cams[:n_w] = window
+        cam_valid = np.zeros(K_cap, bool)
+        cam_valid[:n_w] = True
+        pids = np.zeros(P_cap, np.int32)
+        pids[:n_pt] = point_ids
+        pid_valid = np.zeros(P_cap, bool)
+        pid_valid[:n_pt] = True
+
         inl = np.asarray(res.edge_inliers)
         bad = book["ev"] & ~inl
-        kf_obs = st.kf_obs
-        if bad.any():
-            from ..ops import scatter as scatter_ops
-            cams = np.asarray(book["cams"])
-            bad_cam = cams[book["cam_idx"][bad]]
-            bad_slot = book["slot_idx"][bad]
-            K_all, N = kf_obs.shape
-            flat = kf_obs.reshape(-1, 1)
-            fidx = jnp.asarray(bad_cam.astype(np.int64) * N
-                               + bad_slot.astype(np.int64))
-            vals = jnp.full((len(bad_cam), 1), -1, kf_obs.dtype)
-            kf_obs = scatter_ops.scatter_set_rows(flat, fidx, vals
-                                                  ).reshape(K_all, N)
+        glob_cam = np.asarray(book["cams"], np.int64)[book["cam_idx"]]
+        bad_flat = glob_cam * N + book["slot_idx"].astype(np.int64)
+
+        kf_R, kf_t, mp_pos, kf_obs = _ba_write_back_jit(
+            st.kf_R, st.kf_t, st.mp_pos, st.kf_obs,
+            jnp.asarray(cams), jnp.asarray(cam_valid),
+            res.R, res.t,
+            jnp.asarray(pids), jnp.asarray(pid_valid), res.points,
+            jnp.asarray(bad_flat.astype(np.int32)), jnp.asarray(bad))
         smap.state = st._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos,
                                  kf_obs=kf_obs)
 
@@ -416,8 +443,7 @@ class LocalMapper:
         """Covisible window + its points + fixed boundary observers."""
         mc = self.cfg.map
         st = smap.state
-        weights = np.asarray(
-            mapstore.covisibility_row(st, center_kf, mc.max_points))
+        weights = self._covis_row_np(st, center_kf)
         covis = np.argsort(-weights)
         window = [center_kf] + [
             int(k) for k in covis[: mc.local_ba_max_kfs - 1] if weights[k] > 0
@@ -426,20 +452,21 @@ class LocalMapper:
         # src/Optimizer.cc:357) — without it the window drifts freely
         if 0 in window:
             window.remove(0)
-        obs_w = np.asarray(st.kf_obs)[window]
+        all_obs = self._m(st.kf_obs, "kf_obs")
+        obs_w = all_obs[window]
         point_ids = np.unique(obs_w[obs_w >= 0])
-        mp_valid = np.asarray(st.mp_valid)
+        mp_valid = self._m(st.mp_valid, "mp_valid")
         point_ids = point_ids[mp_valid[point_ids]]
 
         # fixed boundary: keyframes outside the window observing those points
         lut = np.zeros(mc.max_points + 1, bool)
         lut[point_ids] = True
-        all_obs = np.asarray(st.kf_obs)
         observes_local = lut[np.clip(all_obs, 0, mc.max_points)] & (all_obs >= 0)
         kf_hits = observes_local.any(axis=1)
+        kf_valid_m = self._m(st.kf_valid, "kf_valid")
         fixed_kfs = [
             int(k) for k in np.where(kf_hits)[0]
-            if k not in window and bool(np.asarray(st.kf_valid)[k])
+            if k not in window and kf_valid_m[k]
         ]
         if not fixed_kfs:
             fixed_kfs = [0]
@@ -455,11 +482,11 @@ class LocalMapper:
         """All keyframes, first fixed (GlobalBundleAdjustemnt,
         src/Optimizer.cc:38-43)."""
         st = smap.state
-        window = [k for k in range(smap.n_kf)
-                  if bool(np.asarray(st.kf_valid)[k])]
+        kf_valid_m = self._m(st.kf_valid, "kf_valid")
+        window = [k for k in range(smap.n_kf) if kf_valid_m[k]]
         if len(window) < 2:
             return
-        all_obs = np.asarray(st.kf_obs)[window]
+        all_obs = self._m(st.kf_obs, "kf_obs")[window]
         point_ids = np.unique(all_obs[all_obs >= 0])
         # gauge: fix the first keyframe by listing it in the fixed group
         Rs, ts, Xs, fixed, edges, book = self._build_ba_problem(
@@ -493,32 +520,42 @@ class LocalMapper:
         n_levels = self.cfg.extractor.n_levels
         st = smap.state
         P = self.cfg.map.max_points
-        weights = np.asarray(mapstore.covisibility_row(st, current_kf, P))
+        weights = self._covis_row_np(st, current_kf)
         candidates = [int(k) for k in np.where(weights > 0)[0]]
         protected = {0, current_kf}
         for a, b in (smap.loop_edges or []):
             protected |= {a, b}
 
-        counts_le = np.asarray(
-            mapstore.point_observation_counts_by_level(st, n_levels))
+        obs_m = self._m(st.kf_obs, "kf_obs").copy()
+        lvl_m = self._m(st.kf_level, "kf_level")
+        kf_valid_m = self._m(st.kf_valid, "kf_valid")
+
+        def counts_by_level(obs):
+            # [P, L] cumulative same-or-finer observation counts, host form
+            # of mapstore.point_observation_counts_by_level
+            sel = obs >= 0
+            flat = obs[sel] * n_levels + np.clip(lvl_m[sel], 0, n_levels - 1)
+            c = np.bincount(flat, minlength=P * n_levels)
+            return np.cumsum(c.reshape(P, n_levels), axis=1)
+
+        counts_le = counts_by_level(obs_m)
         self.last_culled_kfs = []
         for k in candidates:
-            if k in protected or not bool(np.asarray(st.kf_valid[k])):
+            if k in protected or not kf_valid_m[k]:
                 continue
-            obs = np.asarray(st.kf_obs[k])
+            obs = obs_m[k]
             sel = obs >= 0
             pid = obs[sel]
             if len(pid) < 10:
                 continue
-            lvl = np.clip(np.asarray(st.kf_level[k])[sel] + 1, 0,
-                          n_levels - 1)
+            lvl = np.clip(lvl_m[k][sel] + 1, 0, n_levels - 1)
             # own observation is at octave <= level+1, so subtract it
             redundant = counts_le[pid, lvl] - 1 >= lm_cfg.kf_culling_min_obs
             if redundant.mean() >= lm_cfg.kf_culling_redundancy:
                 self._erase_keyframe(smap, k)
-                counts_le = np.asarray(
-                    mapstore.point_observation_counts_by_level(
-                        smap.state, n_levels))
+                obs_m[k] = -1
+                kf_valid_m = self._m(smap.state.kf_valid, "kf_valid")
+                counts_le = counts_by_level(obs_m)
                 self.last_culled_kfs.append(k)
         return len(self.last_culled_kfs)
 
@@ -531,12 +568,12 @@ class LocalMapper:
         fall back to k's original parent."""
         # covisibility BEFORE clearing k's observations (the reference
         # computes child weights from the still-connected graph)
-        P = self.cfg.map.max_points
         children = [c for c in range(smap.n_kf) if int(smap.parent[c]) == k]
         p = int(smap.parent[k])
         W = None
         if children:
-            W = np.asarray(mapstore.covisibility_matrix(smap.state, P))
+            W = np.stack([self._covis_row_np(smap.state, c)
+                          for c in range(smap.n_kf)])
 
         st = smap.state
         N = st.kf_obs.shape[1]
@@ -570,11 +607,13 @@ class LocalMapper:
         grace window."""
         lm_cfg = self.cfg.local_mapping
         st = smap.state
-        counts = np.asarray(mapstore.point_observation_counts(st))
-        found = np.asarray(st.mp_found)
-        visible = np.asarray(st.mp_visible)
-        first = np.asarray(st.mp_first_kf)
-        valid = np.asarray(st.mp_valid)
+        P = self.cfg.map.max_points
+        obs_m = self._m(st.kf_obs, "kf_obs")
+        counts = np.bincount(obs_m[obs_m >= 0], minlength=P)
+        found = self._m(st.mp_found, "mp_found")
+        visible = self._m(st.mp_visible, "mp_visible")
+        first = self._m(st.mp_first_kf, "mp_first_kf")
+        valid = self._m(st.mp_valid, "mp_valid")
 
         # Only *recently created* points are candidates (the reference walks
         # mlpRecentAddedMapPoints, src/LocalMapping.cc:190-218; points older
@@ -587,11 +626,34 @@ class LocalMapper:
         bad = valid & recent & (ratio_bad | obs_bad)
         if not bad.any():
             return 0
-        mp_valid = jnp.asarray(valid & ~bad)
-        # scrub dangling observations
-        obs = st.kf_obs
-        P = self.cfg.map.max_points
-        dangling = jnp.asarray(bad)[jnp.clip(obs, 0, P - 1)] & (obs >= 0)
-        obs = jnp.where(dangling, -1, obs)
-        smap.state = st._replace(mp_valid=mp_valid, kf_obs=obs)
+        # scrub dangling observations on the host mirror, upload once
+        obs = obs_m.copy()
+        dangling = bad[np.clip(obs, 0, P - 1)] & (obs >= 0)
+        obs[dangling] = -1
+        smap.state = st._replace(mp_valid=jnp.asarray(valid & ~bad),
+                                 kf_obs=jnp.asarray(obs))
         return int(bad.sum())
+
+
+@jax.jit
+def _ba_write_back_jit(kf_R, kf_t, mp_pos, kf_obs,
+                       cams, cam_valid, Rn, tn,
+                       pids, pid_valid, Xn, bad_flat, bad_valid):
+    """One-program BA write-back: scatter window poses, point positions,
+    and outlier-observation erasure (invalid rows land on a scratch slot)."""
+    K = kf_R.shape[0]
+    N = kf_obs.shape[1]
+    P = mp_pos.shape[0]
+    camsafe = jnp.where(cam_valid, cams, K)
+    kf_R = jnp.concatenate([kf_R, kf_R[:1]]).at[camsafe].set(
+        Rn[:cams.shape[0]])[:K]
+    kf_t = jnp.concatenate([kf_t, kf_t[:1]]).at[camsafe].set(
+        tn[:cams.shape[0]])[:K]
+    pidsafe = jnp.where(pid_valid, pids, P)
+    mp_pos = jnp.concatenate([mp_pos, mp_pos[:1]]).at[pidsafe].set(
+        Xn[:pids.shape[0]])[:P]
+    flat = jnp.concatenate([kf_obs.reshape(-1),
+                            jnp.zeros((1,), kf_obs.dtype)])
+    fidx = jnp.where(bad_valid, bad_flat, K * N)
+    kf_obs = flat.at[fidx].set(-1)[:K * N].reshape(K, N)
+    return kf_R, kf_t, mp_pos, kf_obs

@@ -452,15 +452,22 @@ class LoopCloser:
         from .local_mapper import LocalMapper
         lm = LocalMapper(cfg=self.cfg, cam=self.cam)
         st = smap.state
-        P = self.cfg.map.max_points
         # current-side keyframes: kf + covisible; loop-side landmark pool
-        weights = np.asarray(mapstore.covisibility_row(st, kf, P))
+        weights = lm._covis_row_np(st, kf)
         cur_side = [kf] + [int(k) for k in np.argsort(-weights)[:5]
                            if weights[k] > 0]
-        w2 = np.asarray(mapstore.covisibility_row(st, loop_kf, P))
+        w2 = lm._covis_row_np(st, loop_kf)
         loop_side = [loop_kf] + [int(k) for k in np.argsort(-w2)[:5]
                                  if w2[k] > 0]
-        obs_l = np.asarray(st.kf_obs)[loop_side]
+        obs_m = lm._m(st.kf_obs, "kf_obs")
+        obs_l = obs_m[loop_side]
         cand = np.unique(obs_l[obs_l >= 0])
+        ctx = dict(obs=obs_m.copy(),
+                   mp_valid=lm._m(st.mp_valid, "mp_valid").copy(),
+                   changed=False)
         for tgt in cur_side:
-            lm._fuse_candidates_into(smap, tgt, cand)
+            lm._fuse_candidates_into(smap, tgt, cand, ctx)
+        if ctx["changed"]:
+            smap.state = smap.state._replace(
+                kf_obs=jnp.asarray(ctx["obs"]),
+                mp_valid=jnp.asarray(ctx["mp_valid"]))

@@ -228,3 +228,119 @@ def fuse_into_keyframe(
     mm = m.match_nn(gated, max_dist=max_dist)
     mm = m.resolve_duplicates(mm, kf_xy.shape[0])
     return jnp.where(mm.valid, mm.idx, -1), mm.valid
+
+
+@partial(jax.jit, static_argnames=("max_obs", "cap"))
+def refresh_medoid_descriptors(kf_obs, kf_desc, mp_desc, kf_row,
+                               *, max_obs: int = 8, cap: int = 2048):
+    """One-program replacement for the host-side observation gather of
+    MapPoint::ComputeDistinctiveDescriptors: collect up to max_obs
+    observation descriptors for every landmark seen by keyframe kf_row via
+    a device sort + searchsorted over the flat observation table, take the
+    min-median-Hamming medoid, scatter into mp_desc.  Zero host transfer
+    (the previous formulation fetched the full [K,N,8] descriptor table
+    through the device link per keyframe)."""
+    K, N = kf_obs.shape
+    BIG = jnp.int32(2**31 - 1)
+    row = kf_obs[kf_row]
+    pids = jnp.unique(jnp.where(row >= 0, row, BIG), size=cap,
+                      fill_value=BIG)
+    pid_valid = pids < BIG
+
+    flat = kf_obs.reshape(-1)
+    flat = jnp.where(flat >= 0, flat, BIG)
+    order = jnp.argsort(flat)
+    sorted_pid = flat[order]
+    lo = jnp.searchsorted(sorted_pid, pids)
+    idx = jnp.clip(lo[:, None] + jnp.arange(max_obs)[None, :], 0, K * N - 1)
+    sel_pid = sorted_pid[idx]                               # [cap, max_obs]
+    valid = (sel_pid == pids[:, None]) & pid_valid[:, None]
+    sets = kf_desc.reshape(K * N, 8)[order[idx]]            # [cap, max_obs, 8]
+
+    best, has = medoid_descriptors(sets, valid)
+    active = pid_valid & has
+    # inactive rows write to a scratch slot past the pool (a duplicate
+    # scatter to slot 0 would race with point 0's real write)
+    P = mp_desc.shape[0]
+    tgt = jnp.where(active, jnp.clip(pids, 0, P - 1), P)
+    padded = jnp.concatenate([mp_desc, mp_desc[:1]], axis=0)
+    return padded.at[tgt].set(best)[:P]
+
+
+class MultiTriangulation(NamedTuple):
+    X: jnp.ndarray        # [N, 3] winning world point per kf slot
+    ok: jnp.ndarray       # [N] any neighbor triangulated this slot
+    slot2: jnp.ndarray    # [N] matched slot in the winning neighbor
+    nb_of: jnp.ndarray    # [N] winning neighbor keyframe id
+
+
+@partial(jax.jit, static_argnames=("scale_factor",))
+def triangulate_multi(
+    kf_row, nb_idx, nb_valid,
+    kf_xy, kf_desc, kf_level, kf_angle, kf_kp_valid, kf_obs,
+    kf_R, kf_t,
+    sigma2_table, K, cam: CameraParams,
+    max_dist: int = 50,
+    epipolar_chi2: float = 3.84,
+    reproj_chi2: float = 5.991,
+    scale_factor: float = 1.2,
+) -> MultiTriangulation:
+    """CreateNewMapPoints over ALL covisible neighbors as ONE program
+    (src/LocalMapping.cc:220-386 loops neighbors on the host; here the pair
+    search is vmapped over a padded [Nn] neighbor axis and the first valid
+    neighbor — neighbors are supplied in covisibility order — wins each
+    keyframe slot, reproducing the reference's sequential first-association
+    semantics)."""
+    s2 = sigma2_table
+    xy1 = kf_xy[kf_row]
+    desc1 = kf_desc[kf_row]
+    level1 = kf_level[kf_row]
+    angle1 = kf_angle[kf_row]
+    free1 = kf_kp_valid[kf_row] & (kf_obs[kf_row] < 0)
+    s2_1 = s2[jnp.clip(level1, 0, s2.shape[0] - 1)]
+    R1 = kf_R[kf_row]
+    t1 = kf_t[kf_row]
+
+    def one(nb, nbv):
+        free2 = kf_kp_valid[nb] & (kf_obs[nb] < 0) & nbv
+        lv2 = kf_level[nb]
+        res = triangulate_between(
+            xy1, desc1, level1, angle1, free1,
+            kf_xy[nb], kf_desc[nb], lv2, kf_angle[nb], free2,
+            R1, t1, kf_R[nb], kf_t[nb],
+            s2_1, s2[jnp.clip(lv2, 0, s2.shape[0] - 1)],
+            K, cam, max_dist=max_dist, epipolar_chi2=epipolar_chi2,
+            reproj_chi2=reproj_chi2, scale_factor=scale_factor)
+        return res.slot2, res.X, res.ok & nbv
+
+    slot2s, Xs, oks = jax.vmap(one)(nb_idx, nb_valid)     # [Nn, N, ...]
+    first = jnp.argmax(oks, axis=0)                        # first True
+    any_ok = jnp.any(oks, axis=0)
+    cols = jnp.arange(oks.shape[1])
+    return MultiTriangulation(
+        X=Xs[first, cols], ok=any_ok,
+        slot2=slot2s[first, cols], nb_of=nb_idx[first])
+
+
+@jax.jit
+def fuse_into_keyframe_tables(
+    kf_xy, kf_desc, kf_level, kf_kp_valid, kf_R, kf_t,
+    target, obs_row,
+    mp_pos, mp_desc, sel, cand_valid,
+    sigma2_table, cam: CameraParams,
+    radius, max_dist,
+):
+    """fuse_into_keyframe with the per-target gathers done in-program (one
+    dispatch per fuse target instead of ~10 eager slices), returning a
+    single [M, 2] (slot, ok) blob so the caller fetches once."""
+    lv = kf_level[target]
+    s2 = sigma2_table[jnp.clip(lv, 0, sigma2_table.shape[0] - 1)]
+    selc = jnp.clip(sel, 0, None)
+    slot, ok = fuse_into_keyframe(
+        kf_xy[target], kf_desc[target], lv,
+        kf_kp_valid[target] & (obs_row > -2),  # obs_row keeps the row arg live
+        obs_row,
+        kf_R[target], kf_t[target],
+        mp_pos[selc], mp_desc[selc], cand_valid, selc,
+        s2, cam, radius=radius, max_dist=max_dist)
+    return jnp.stack([slot, ok.astype(jnp.int32)], axis=1)

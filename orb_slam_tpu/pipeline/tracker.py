@@ -38,6 +38,15 @@ from .local_mapper import LocalMapper
 from .loop_closer import LoopCloser
 
 
+def _orthonormalize_np(R: np.ndarray) -> np.ndarray:
+    """Host-side SO(3) projection (SVD) — the per-frame motion-model
+    bookkeeping must not cost device round trips (see se3.orthonormalize
+    for why the projection is needed at all)."""
+    u, _, vt = np.linalg.svd(R.astype(np.float64))
+    s = np.sign(np.linalg.det(u @ vt))
+    return (u @ np.diag([1.0, 1.0, s]) @ vt).astype(np.float32)
+
+
 class TrackState(enum.Enum):
     NOT_INITIALIZED = 0
     INITIALIZING = 1
@@ -79,12 +88,22 @@ class Tracker:
     _sel_cache: Optional[np.ndarray] = None
     _sel_frame: int = -10**9
     _sel_dirty: bool = True
+    # host mirrors of slow-changing device arrays, keyed by array identity
+    # (fetching kf_obs through the tunnel every selection costs a round
+    # trip, and a dynamic [:n_kf] device slice would recompile per KF count)
+    _obs_mirror: Optional[tuple] = None
+    _mpvalid_mirror: Optional[tuple] = None
     # software pipeline (fused path): in-flight dispatched frames whose
     # host blobs have not been fetched yet, plus the device-resident chain
     # of "last frame" handles feeding the next dispatch (frame_step docs)
     _pipe: List[dict] = field(default_factory=list)
     _chain: Optional[dict] = None
     _force_kf: bool = False
+    # micro-batching (frame_step_scan): buffered raw frames awaiting a
+    # batch dispatch, and the stacked outputs holding the newest frame's
+    # features (materialized lazily — slicing costs a dispatch)
+    _batch_buf: List[dict] = field(default_factory=list)
+    _last_stacked: Optional[tuple] = None
     last_frame: Optional[frame_mod.FrameData] = None
     last_R: Optional[jnp.ndarray] = None
     last_t: Optional[jnp.ndarray] = None
@@ -157,7 +176,8 @@ class Tracker:
                         self._drain_pipe()
                         self._commit_mapping(res, metrics)
             if self._force_kf and self.state == TrackState.WORKING:
-                self._starved_keyframe(metrics)
+                with _timer.stage("tracking", "starvedKeyframe"):
+                    self._starved_keyframe(metrics)
             if self.state == TrackState.WORKING:
                 with _timer.stage("tracking", "trackFused"):
                     self._track_fused(image, timestamp, metrics)
@@ -275,6 +295,20 @@ class Tracker:
         from . import frame_step as fs
 
         tcfg = self.cfg.tracker
+        if tcfg.frame_batch > 1:
+            # micro-batched dispatch: buffer, then one scan program per
+            # frame_batch frames (amortizes the fixed per-dispatch cost of
+            # latency-bound runtimes; see frame_step_scan)
+            self._batch_buf.append(dict(
+                image=image, timestamp=timestamp, metrics=metrics,
+                frame_id=self.frame_id))
+            if len(self._batch_buf) >= tcfg.frame_batch:
+                self._dispatch_batch()
+                depth = 1 if self.async_mapper is not None else 0
+                while len(self._pipe) > depth:
+                    self._retire_batch()
+            return
+
         st = self.slam_map.state
         chain = self._chain if self._chain is not None else self._build_chain()
 
@@ -332,12 +366,28 @@ class Tracker:
         while len(self._pipe) > depth:
             self._retire_one()
 
+    def _materialize_frame(self, out, b: int) -> frame_mod.FrameData:
+        """Pull frame b's features out of a stacked batch output (one
+        jitted slice dispatch — keyframe-rate only)."""
+        from . import frame_step as fs
+        sl = fs.slice_frame(
+            (out.xy, out.xy_und, out.response, out.angle, out.level,
+             out.desc, out.kp_valid, out.inv_sigma2, out.sigma2),
+            jnp.int32(b))
+        xy, xy_und, response, angle, level, desc, kp_valid, inv_s2, s2 = sl
+        return frame_mod.FrameData(
+            feats=FrameFeatures(xy=xy, response=response, angle=angle,
+                                level=level, desc=desc, valid=kp_valid),
+            xy_und=xy_und, inv_sigma2=inv_s2, sigma2=s2)
+
     def _build_chain(self) -> dict:
         """Device handles feeding the next frame_step dispatch, rebuilt from
         host state after init/reloc/commit/reset (the in-program motion
         model reproduces the host velocity model exactly: with
         R_prev = vel_R^T R_last, t_prev = vel_R^T (t_last - vel_t) the
         program's R_last R_prev^T == vel_R)."""
+        if self.last_frame is None and self._last_stacked is not None:
+            self.last_frame = self._materialize_frame(*self._last_stacked)
         lf = self.last_frame
         tcfg = self.cfg.tracker
         st = self.slam_map.state
@@ -359,9 +409,161 @@ class Tracker:
             mp_visible=st.mp_visible, mp_found=st.mp_found,
             has_vel=has_vel)
 
+    def _refresh_sel(self) -> np.ndarray:
+        cap = self.cfg.map.local_ba_max_points
+        if (self._sel_cache is None or self._sel_dirty
+                or self.frame_id - self._sel_frame >= 4):
+            with _timer.stage("tracking", "selectLocalWindow"):
+                ids = self._select_local_point_ids(cap)
+            pad = cap - len(ids)
+            self._sel_cache = np.concatenate(
+                [ids, np.full(pad, -1)]).astype(np.int32)
+            self._sel_frame = self.frame_id
+            self._sel_dirty = False
+        return self._sel_cache
+
+    def _dispatch_batch(self):
+        """Dispatch the buffered frames as ONE frame_step_scan program."""
+        from . import frame_step as fs
+        tcfg = self.cfg.tracker
+        recs, self._batch_buf = self._batch_buf, []
+        if not recs:
+            return
+        B = tcfg.frame_batch
+        n_real = len(recs)
+        imgs = [np.asarray(r["image"], np.float32) for r in recs]
+        while len(imgs) < B:   # pad a partial flush: ONE compiled program
+            imgs.append(imgs[-1])
+        images = np.stack(imgs)
+        st = self.slam_map.state
+        chain = self._chain if self._chain is not None else self._build_chain()
+        sel = self._refresh_sel()
+        use_pallas = (jax.default_backend() in ("tpu", "axon")
+                      and not self.cfg.extractor.score_harris)
+        with _timer.stage("tracking", "dispatchFrameStep"):
+            out = fs.frame_step_scan(
+                images,
+                chain["desc"], chain["level"], chain["angle"],
+                chain["pos"], chain["valid"],
+                st.mp_pos, st.mp_desc, st.mp_normal, st.mp_min_dist,
+                st.mp_max_dist, st.mp_valid,
+                sel,
+                chain["mp_visible"], chain["mp_found"],
+                chain["R_last"], chain["t_last"],
+                chain["R_prev"], chain["t_prev"], chain["lm"],
+                np.bool_(chain["has_vel"]),
+                self.cam,
+                ext_cfg=self.cfg.extractor, matcher_cfg=self.cfg.matcher,
+                solver_cfg=self.cfg.solver, use_pallas=use_pallas,
+                min_track_inliers=tcfg.min_track_inliers)
+        self._pipe.append(dict(out=out, recs=recs, n_real=n_real))
+        self._chain = dict(
+            desc=out.last_desc, level=out.last_level, angle=out.last_angle,
+            pos=out.next_last_pos, valid=out.next_last_valid,
+            R_last=out.R_last, t_last=out.t_last,
+            R_prev=out.R_prev, t_prev=out.t_prev,
+            lm=out.lm_matches,
+            mp_visible=out.mp_visible, mp_found=out.mp_found,
+            has_vel=bool(tcfg.use_motion_model))
+
+    def _retire_batch(self):
+        """Fetch one batch's host blobs (ONE readback) and run the per-frame
+        host bookkeeping rows in order."""
+        rec = self._pipe.pop(0)
+        out, recs, n_real = rec["out"], rec["recs"], rec["n_real"]
+        tcfg = self.cfg.tracker
+        with _timer.stage("tracking", "fetchHostBlob"):
+            blobs = np.asarray(out.host_blob)
+        self.slam_map.state = self.slam_map.state._replace(
+            mp_visible=out.mp_visible, mp_found=out.mp_found)
+
+        for b in range(n_real):
+            r = recs[b]
+            fid, timestamp, metrics = (r["frame_id"], r["timestamp"],
+                                       r["metrics"])
+            blob = blobs[b]
+            pid_global = blob[16:].astype(np.int32)
+            Rc = blob[:9].reshape(3, 3)
+            tc = blob[9:12]
+            n_f2f, n_lm, n_vis, n_inl = (int(x) for x in blob[12:16])
+            metrics.update(f2f_matches=n_f2f, localmap_matches=n_lm,
+                           n_visible=n_vis, inliers=n_inl)
+            self._prev_localmap_matches = n_lm
+
+            if n_inl < tcfg.min_localmap_inliers:
+                self.trajectory.append(
+                    FrameRecord(fid, timestamp, Rc, tc, False))
+                self._chain = None
+                self.last_frame = None
+                if self.slam_map.n_kf <= tcfg.reset_if_lost_before_kfs:
+                    self._reset_map()
+                    metrics["event"] = "system_reset"
+                else:
+                    self.state = TrackState.LOST
+                    metrics["event"] = "tracking_lost"
+                self._abort_batch_rows(out, recs, b + 1, n_real)
+                self._last_stacked = None
+                self._abort_pipe()
+                return
+
+            R_last = np.asarray(self.last_R)
+            t_last = np.asarray(self.last_t)
+            self.vel_R = _orthonormalize_np(Rc @ R_last.T)
+            self.vel_t = tc - self.vel_R @ t_last
+            self.last_R, self.last_t = Rc, tc
+            self.last_assoc_pid = pid_global
+            self.last_assoc_valid = pid_global >= 0
+            self.trajectory.append(FrameRecord(fid, timestamp, Rc, tc, True))
+
+            # keyframe decision (NeedNewKeyFrame, Tracking.cc:651-689)
+            self.n_ref_tracked = max(self.n_ref_tracked, n_inl)
+            frames_since = fid - self.last_kf_frame_id
+            need = (
+                frames_since >= tcfg.max_frames_between_kf
+                or (n_inl < tcfg.kf_min_tracked_ratio
+                    * max(self.n_ref_tracked, 1)
+                    and frames_since >= tcfg.min_frames_between_kf)
+            ) and n_inl >= tcfg.kf_min_tracked
+            if need:
+                am = self.async_mapper
+                if am is not None and am.busy:
+                    if n_inl < 2 * tcfg.kf_min_tracked:
+                        self._force_kf = True
+                else:
+                    fd = self._materialize_frame(out, b)
+                    self._create_keyframe(fd, timestamp, pid_global, metrics,
+                                          frame_id=fid)
+
+        # the newest frame's features stay stacked until someone needs them
+        self.last_frame = None
+        self._last_stacked = (out, n_real - 1)
+        self.last_assoc_pos = out.next_last_pos
+
+    def _abort_batch_rows(self, out, recs, start: int, n_real: int):
+        """Post-loss rows of a batch: route their device-resident features
+        through the staged state machine (reloc / re-initialization)."""
+        for b in range(start, n_real):
+            fd = self._materialize_frame(out, b)
+            r = recs[b]
+            saved = self.frame_id
+            self.frame_id = r["frame_id"]
+            try:
+                if self.state in (TrackState.NOT_INITIALIZED,
+                                  TrackState.INITIALIZING):
+                    self._initialize(fd, r["timestamp"], r["metrics"])
+                elif self.state == TrackState.LOST:
+                    self._relocalize(fd, r["timestamp"], r["metrics"])
+            finally:
+                self.frame_id = saved
+
     def _drain_pipe(self):
+        if self._batch_buf:
+            self._dispatch_batch()
         while self._pipe:
-            self._retire_one()
+            if "recs" in self._pipe[0]:
+                self._retire_batch()
+            else:
+                self._retire_one()
 
     def _retire_one(self):
         """Fetch the oldest in-flight frame's host blob and run the host-side
@@ -405,10 +607,10 @@ class Tracker:
             self._abort_pipe()
             return
 
-        # motion model update
+        # motion model update (host math — no device round trips)
         R_last = np.asarray(self.last_R)
         t_last = np.asarray(self.last_t)
-        self.vel_R = np.asarray(se3.orthonormalize(jnp.asarray(Rc @ R_last.T)))
+        self.vel_R = _orthonormalize_np(Rc @ R_last.T)
         self.vel_t = tc - self.vel_R @ t_last
 
         self.last_R, self.last_t = Rc, tc
@@ -477,6 +679,8 @@ class Tracker:
         self._drain_pipe()
         if self.state != TrackState.WORKING:
             return
+        if self.last_frame is None and self._last_stacked is not None:
+            self.last_frame = self._materialize_frame(*self._last_stacked)
         res = self.async_mapper.flush()
         if res is not None:
             self._commit_mapping(res, metrics)
@@ -651,6 +855,8 @@ class Tracker:
         self._pipe = []
         self._chain = None
         self._force_kf = False
+        self._batch_buf = []
+        self._last_stacked = None
         if self.loop_closer is not None:
             self.loop_closer.kf_bow = {}
             self.loop_closer.consistent_groups = []
@@ -919,32 +1125,47 @@ class Tracker:
                 [np.ones(len(ids), bool), np.zeros(pad, bool)])),
         }
 
+    def _host_kf_obs(self) -> np.ndarray:
+        # host mirror of kf_obs, refreshed only when the device array is a
+        # new object (mapping commit / keyframe insertion)
+        st = self.slam_map.state
+        if self._obs_mirror is None or self._obs_mirror[0] is not st.kf_obs:
+            self._obs_mirror = (st.kf_obs, np.asarray(st.kf_obs))
+        return self._obs_mirror[1]
+
+    def _host_mp_valid(self) -> np.ndarray:
+        st = self.slam_map.state
+        if (self._mpvalid_mirror is None
+                or self._mpvalid_mirror[0] is not st.mp_valid):
+            self._mpvalid_mirror = (st.mp_valid, np.asarray(st.mp_valid))
+        return self._mpvalid_mirror[1]
+
     def _select_local_point_ids(self, cap: int,
                                 seed_pids: Optional[np.ndarray] = None
                                 ) -> np.ndarray:
-        st = self.slam_map.state
         n_kf = self.slam_map.n_kf
+        mp_valid = self._host_mp_valid()
         tracked = seed_pids if seed_pids is not None else self.last_assoc_pid
         if tracked is None or n_kf == 0:
-            return np.where(np.asarray(st.mp_valid))[0][:cap]
+            return np.where(mp_valid)[0][:cap]
         tracked = tracked[tracked >= 0]
         if len(tracked) == 0:
-            return np.where(np.asarray(st.mp_valid))[0][:cap]
+            return np.where(mp_valid)[0][:cap]
         # vote keyframes by how many tracked landmarks they observe
         # (native host op; runs every frame)
         P = self.cfg.map.max_points
         seen = np.zeros(P + 1, bool)
         seen[tracked] = True
-        obs = np.asarray(st.kf_obs[:n_kf])
+        obs = self._host_kf_obs()[:n_kf]
         votes = native.vote_keyframes(obs, seen)
         order = np.argsort(-votes)
         local_kfs = [int(k) for k in order[: self.cfg.tracker.max_local_keyframes]
                      if votes[k] > 0]
         if not local_kfs:
-            return np.where(np.asarray(st.mp_valid))[0][:cap]
+            return np.where(mp_valid)[0][:cap]
         sel_obs = obs[local_kfs]
         ids = np.unique(sel_obs[sel_obs >= 0])
-        ids = ids[np.asarray(st.mp_valid)[ids]]
+        ids = ids[mp_valid[ids]]
         return ids[:cap]
 
     def _bump_point_stats(self, ids, pid_local, matched, inlier, visible):

@@ -39,3 +39,40 @@ def test_medoid_single_observation(rng):
     best, has = mk.medoid_descriptors(jnp.asarray(sets), jnp.asarray(valid))
     assert bool(has[0])
     np.testing.assert_array_equal(np.asarray(best[0]), d)
+
+
+def test_refresh_medoid_descriptors_device_gather(rng):
+    """The one-program refresh must reproduce the straightforward host
+    formulation: for every point observed by the target keyframe, the
+    medoid of all its observation descriptors lands in mp_desc."""
+    K, N, P = 6, 32, 40
+    kf_obs = np.full((K, N), -1, np.int32)
+    kf_desc = rng.integers(0, 2**32, (K, N, 8), dtype=np.uint32)
+    # point p observed by keyframes p % 3, p % 3 + 1, and 5
+    for p in range(P):
+        for k in (p % 3, p % 3 + 1, 5):
+            slot = (p * 7 + k) % N
+            if kf_obs[k, slot] < 0:
+                kf_obs[k, slot] = p
+    mp_desc0 = rng.integers(0, 2**32, (P, 8), dtype=np.uint32)
+    out = np.asarray(mk.refresh_medoid_descriptors(
+        jnp.asarray(kf_obs), jnp.asarray(kf_desc), jnp.asarray(mp_desc0),
+        jnp.int32(5), max_obs=8, cap=64))
+
+    def ham(a, b):
+        return sum(bin(int(x)).count("1") for x in np.bitwise_xor(a, b))
+
+    touched = sorted(set(kf_obs[5][kf_obs[5] >= 0].tolist()))
+    assert touched, "fixture must observe points from kf 5"
+    for p in range(P):
+        sets = [kf_desc[k, s] for k in range(K) for s in range(N)
+                if kf_obs[k, s] == p]
+        if p in touched and sets:
+            meds = []
+            for d in sets:
+                ds = sorted(ham(d, o) for o in sets)
+                meds.append(ds[(len(sets) - 1) // 2])
+            best = sets[int(np.argmin(meds))]
+            np.testing.assert_array_equal(out[p], best)
+        else:
+            np.testing.assert_array_equal(out[p], mp_desc0[p])
