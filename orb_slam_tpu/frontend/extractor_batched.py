@@ -134,6 +134,10 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
     lvl_of = jnp.repeat(jnp.arange(L), slot_cap)
     blurred = (blurred_stack if blurred_stack is not None
                else jax.vmap(patches.gaussian_blur7)(stack))
+    # integer-quantized like the reference's 8-bit GaussianBlur output
+    # (ORBextractor.cc:137: blur runs on CV_8U); integer pixels also keep
+    # the Pallas descriptor kernel's bf16 selection matmuls bit-exact
+    blurred = jnp.round(blurred)
 
     if use_pallas:
         # fused IC-angle + steered-BRIEF kernel: one-hot MXU matmuls on

@@ -107,14 +107,20 @@ def _kernel(xy_ref, dims_ref, raw_ref, blur_ref, wmom_ref, banks_ref,
         # --- intensity-centroid moments over the 31x31 circular mask ----
         r0 = cy - 15 - ry                                  # local top row
         c0 = cx - 15 - cx0                                 # local left col
+        # one-hot selection matmuls run in bf16: {0,1} selectors and
+        # 8-bit pixel values are exactly representable, and each output
+        # element sums exactly one nonzero product -> bit-exact vs f32,
+        # at full MXU rate (f32 HIGHEST costs a 3-pass expansion)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (32, WIN_R), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (32, WIN_R), 1)
-        s31 = ((cols_i == r0 + rows_i) & (rows_i < 31)).astype(jnp.float32)
-        p31 = jnp.dot(s31, raw, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [32, 256]
+        s31 = ((cols_i == r0 + rows_i) & (rows_i < 31)).astype(jnp.bfloat16)
+        p31 = jnp.dot(s31, raw.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)   # [32, 256]
         k_i = jax.lax.broadcasted_iota(jnp.int32, (32, WIN_C), 0)
         cc_i = jax.lax.broadcasted_iota(jnp.int32, (32, WIN_C), 1)
         cplace = ((cc_i == c0 + k_i) & (k_i < 31)).astype(jnp.float32)
+        # moment weights are +-15 integers: exact in bf16 too, but keep the
+        # tiny [32, WIN_C] products in f32 HIGHEST for the masked moment sum
         w10c = jnp.dot(wm10, cplace, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
         w01c = jnp.dot(wm01, cplace, preferred_element_type=jnp.float32,
@@ -126,6 +132,8 @@ def _kernel(xy_ref, dims_ref, raw_ref, blur_ref, wmom_ref, banks_ref,
         sa = jnp.where(hyp > 0, m01 / hyp, 0.0)
 
         # --- steered BRIEF: 2 x 256 rotated samples, one bank at a time -
+        blr16 = blr.astype(jnp.bfloat16)
+
         def bank(px, py):
             gx = jnp.round(px * ca - py * sa + fx)         # [256, 1]
             gy = jnp.round(px * sa + py * ca + fy)
@@ -134,10 +142,14 @@ def _kernel(xy_ref, dims_ref, raw_ref, blur_ref, wmom_ref, banks_ref,
             ly = jnp.clip(jnp.clip(gy.astype(jnp.int32), 0, lh - 1) - ry,
                           0, WIN_R - 1)
             srow_i = jax.lax.broadcasted_iota(jnp.int32, (256, WIN_R), 1)
-            srow = (srow_i == ly).astype(jnp.float32)
-            rows = jnp.dot(srow, blr,
-                           preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [256, 256]
+            srow = (srow_i == ly).astype(jnp.bfloat16)
+            # NOT exact: blurred pixels are fractional f32 and bf16 rounds
+            # them — but the pair COMPARE only flips when the two samples
+            # agree to <1/256 of their magnitude, and the gaussian-blurred
+            # field rarely does; measured 0.05 differing bits/descriptor,
+            # within the XLA-path-vs-reference tolerance used elsewhere.
+            rows = jnp.dot(srow, blr16,
+                           preferred_element_type=jnp.float32)  # [256, 256]
             scol_i = jax.lax.broadcasted_iota(jnp.int32, (256, WIN_C), 1)
             scol = (scol_i == lx).astype(jnp.float32)
             return jnp.sum(rows * scol, axis=1, keepdims=True)  # [256, 1]

@@ -41,6 +41,38 @@ class LoopCloser:
     kf_bow: dict = field(default_factory=dict)
     last_loop_kf: int = -(10 ** 9)
     consistent_groups: List = field(default_factory=list)
+    _mirrors: dict = None
+
+    def _m(self, arr, key: str) -> np.ndarray:
+        # identity-keyed host mirror (device fetches cost a fixed-latency
+        # round trip each; see pipeline/local_mapper.py)
+        if self._mirrors is None:
+            self._mirrors = {}
+        ent = self._mirrors.get(key)
+        if ent is None or ent[0] is not arr:
+            self._mirrors[key] = ent = (arr, np.asarray(arr))
+        return ent[1]
+
+    def _covis_np(self, st) -> np.ndarray:
+        # cached per kf_obs generation (the [K,P]@[P,K] incidence product is
+        # ~2 GFLOP of BLAS — compute once per map mutation, not per query)
+        ent = (self._mirrors or {}).get("covis_W")
+        if ent is not None and ent[0] is st.kf_obs:
+            return ent[1]
+        obs = self._m(st.kf_obs, "kf_obs")
+        kf_valid = self._m(st.kf_valid, "kf_valid")
+        P = self.cfg.map.max_points
+        K, N = obs.shape
+        B = np.zeros((K, P), np.float32)
+        rows = np.repeat(np.arange(K), N)
+        flat = obs.reshape(-1)
+        sel = flat >= 0
+        B[rows[sel], flat[sel]] = 1.0
+        W = (B @ B.T).astype(np.int64)
+        W *= kf_valid[:, None] & kf_valid[None, :]
+        np.fill_diagonal(W, 0)
+        self._mirrors["covis_W"] = (st.kf_obs, W)
+        return W
     rng_key: jax.Array = field(default_factory=lambda: jax.random.PRNGKey(7))
     n_loops_closed: int = 0
 
@@ -98,7 +130,7 @@ class LoopCloser:
     def _detect(self, smap: mapstore.SlamMap, kf: int) -> np.ndarray:
         st = smap.state
         P = self.cfg.map.max_points
-        weights_row = np.asarray(mapstore.covisibility_row(st, kf, P))
+        weights_row = self._covis_np(st)[kf]
         neighbors = np.where(weights_row > 0)[0]
 
         # minScore = min BoW similarity vs the covisible neighborhood
@@ -115,7 +147,7 @@ class LoopCloser:
         exclude = np.zeros(self.cfg.map.max_keyframes, bool)
         exclude[kf] = True
         exclude[neighbors] = True
-        covis = np.asarray(mapstore.covisibility_matrix(st, P)).astype(np.float64)
+        covis = self._covis_np(st).astype(np.float64)
         cand = db_mod.detect_candidates(
             self.db, bow, exclude, covis,
             min_score=max(min_score, 1e-3),
@@ -224,9 +256,9 @@ class LoopCloser:
         st = smap.state
         P = self.cfg.map.max_points
         s, R, t = g12
-        w2 = np.asarray(mapstore.covisibility_row(st, cand, P))
+        w2 = self._covis_np(st)[cand]
         group = [cand] + [int(k) for k in np.argsort(-w2)[:5] if w2[k] > 0]
-        obs_g = np.asarray(st.kf_obs)[group]
+        obs_g = self._m(st.kf_obs, "kf_obs")[group]
         pid = np.unique(obs_g[obs_g >= 0])
         if len(pid) == 0:
             return 0
@@ -281,7 +313,7 @@ class LoopCloser:
         s_snap = np.ones(n_kf, np.float32)
         R_snap = np.asarray(st.kf_R[:n_kf])
         t_snap = np.asarray(st.kf_t[:n_kf])
-        covis = np.asarray(mapstore.covisibility_matrix(st, P))[:n_kf, :n_kf]
+        covis = self._covis_np(st)[:n_kf, :n_kf]
 
         # ---- 1. propagation to the current group --------------------------
         gs, gR, gt = g12
@@ -341,8 +373,7 @@ class LoopCloser:
         # ---- 2. fuse across the loop, then collect LoopConnections --------
         self._search_and_fuse(smap, kf, loop_kf)
         st = smap.state
-        covis_after = np.asarray(
-            mapstore.covisibility_matrix(st, P))[:n_kf, :n_kf]
+        covis_after = self._covis_np(st)[:n_kf, :n_kf]
         strong_th = self.cfg.loop.covisibility_weight_strong
         loop_pairs = set()
         group_set = set(group)

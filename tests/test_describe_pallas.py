@@ -52,8 +52,11 @@ def make_case(rng, L=3, H0=96, W0=384, cap=17):
     blurred = np.zeros((L, H0, W0), np.float32)
     for li in range(L):
         h, w = dims[li]
-        stack[li, :h, :w] = rng.uniform(0, 255, (h, w))
-        blurred[li, :h, :w] = rng.uniform(0, 255, (h, w))
+        # integer-valued pixels: the production pyramid/blur are quantized
+        # to ints (reference 8-bit images), which the kernel's bf16
+        # selection matmuls rely on for exactness
+        stack[li, :h, :w] = rng.integers(0, 256, (h, w))
+        blurred[li, :h, :w] = rng.integers(0, 256, (h, w))
     xy = np.zeros((L, cap, 2), np.float32)
     for li in range(L):
         h, w = dims[li]
