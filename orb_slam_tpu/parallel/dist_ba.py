@@ -37,7 +37,8 @@ from jax import shard_map
 from ..config import SolverConfig
 from ..geometry import se3
 from ..geometry.camera import CameraParams
-from ..solvers.bundle_adjust import BAEdges, _edge_terms, _robust_cost
+from ..solvers.bundle_adjust import (BAEdges, _edge_terms, _pcg_solve,
+                                     _robust_cost)
 from ..solvers.pose_opt import _huber_weight
 
 
@@ -116,7 +117,7 @@ def partition_problem(
 
 @lru_cache(maxsize=64)
 def _sharded_ba_fn(mesh: Mesh, axis: str, n_iters: int, two_phase: bool,
-                   cfg: SolverConfig):
+                   cfg: SolverConfig, solver: str = "dense"):
     """Build (once per (mesh, schedule) combination) the jitted shard_map'd
     LM solver.  jax.jit then caches the compiled executable per input-shape
     bucket, so the live pipeline's repeated BA calls do not re-trace."""
@@ -158,8 +159,6 @@ def _sharded_ba_fn(mesh: Mesh, axis: str, n_iters: int, two_phase: bool,
 
             Hcc = jnp.zeros((K, 6, 6), Rs.dtype).at[edges.cam_idx].add(JcTJc)
             Hpp = jnp.zeros((P_shard, 3, 3), Rs.dtype).at[edges.pt_idx].add(JpTJp)
-            U = jnp.zeros((P_shard, K, 6, 3), Rs.dtype).at[
-                edges.pt_idx, edges.cam_idx].add(JcTJp)
             gc = jnp.zeros((K, 6), Rs.dtype).at[edges.cam_idx].add(gc_o)
             gp = jnp.zeros((P_shard, 3), Rs.dtype).at[edges.pt_idx].add(gp_o)
 
@@ -167,34 +166,79 @@ def _sharded_ba_fn(mesh: Mesh, axis: str, n_iters: int, two_phase: bool,
             Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) \
                 + 1e-8 * eye3
             Hpp_inv = jnp.linalg.inv(Hpp_d)
-
-            M = jnp.einsum("pkab,pbc->pkac", U, Hpp_inv)
-            S_sub = jnp.einsum("pkac,plbc->kalb", M, U)
-            g_sub = jnp.einsum("pkac,pc->ka", M, gp)
-
-            # ---- the collective: psum of reduced camera systems ----
             Hcc = jax.lax.psum(Hcc, axis)
-            S_sub = jax.lax.psum(S_sub, axis)
             gc = jax.lax.psum(gc, axis)
-            g_sub = jax.lax.psum(g_sub, axis)
-
             Hcc_d = Hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc)) \
                 + 1e-8 * jnp.eye(6, dtype=Rs.dtype)
-            S = -S_sub
-            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
-            g_red = gc - g_sub
 
-            S = S * free[:, None, None, None] * free[None, None, :, None]
-            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
-                jnp.einsum("k,ab->kab", 1.0 - free, jnp.eye(6, dtype=Rs.dtype))
-            )
-            g_red = g_red * free[:, None]
+            if solver == "cg":
+                # matrix-free sharded Schur: never build [P_shard,K,6,3];
+                # every CG matvec costs one [K,6] psum over the mesh
+                A = JcTJp
+                ci, pi = edges.cam_idx, edges.pt_idx
+                y = jnp.einsum("pab,pb->pa", Hpp_inv, gp)
+                g_sub = jnp.zeros((K, 6), Rs.dtype).at[ci].add(
+                    jnp.einsum("oab,ob->oa", A, y[pi]))
+                g_red = (gc - jax.lax.psum(g_sub, axis)) * free[:, None]
 
-            dxc = -jnp.linalg.solve(S.reshape(6 * K, 6 * K), g_red.reshape(-1))
-            dxc = dxc.reshape(K, 6)
-            dxp = -jnp.einsum(
-                "pab,pb->pa", Hpp_inv, gp + jnp.einsum("pkac,ka->pc", U, dxc)
-            )
+                AH = jnp.einsum("oab,obc->oac", A, Hpp_inv[pi])
+                diag_sub = jnp.zeros((K, 6, 6), Rs.dtype).at[ci].add(
+                    jnp.einsum("oac,obc->oab", AH, A))
+                S_diag = Hcc_d - jax.lax.psum(diag_sub, axis)
+                S_diag = (S_diag * free[:, None, None]
+                          + jnp.eye(6, dtype=Rs.dtype)
+                          * (1.0 - free)[:, None, None]
+                          + 1e-8 * jnp.eye(6, dtype=Rs.dtype))
+                P_inv = jnp.linalg.inv(S_diag)
+
+                def matvec(v):
+                    vk = v.reshape(K, 6) * free[:, None]
+                    yp = jnp.zeros((P_shard, 3), v.dtype).at[pi].add(
+                        jnp.einsum("oab,oa->ob", A, vk[ci]))
+                    zp = jnp.einsum("pab,pb->pa", Hpp_inv, yp)
+                    sub = jnp.zeros((K, 6), v.dtype).at[ci].add(
+                        jnp.einsum("oab,ob->oa", A, zp[pi]))
+                    out = (jnp.einsum("kab,kb->ka", Hcc_d, vk)
+                           - jax.lax.psum(sub, axis))
+                    out = out * free[:, None] + vk * (1.0 - free)[:, None]
+                    return out.reshape(-1)
+
+                def precond(r):
+                    return jnp.einsum("kab,kb->ka", P_inv,
+                                      r.reshape(K, 6)).reshape(-1)
+
+                dxc = -_pcg_solve(matvec, precond, g_red.reshape(-1), 48)
+                dxc = dxc.reshape(K, 6) * free[:, None]
+                up = jnp.zeros((P_shard, 3), Rs.dtype).at[pi].add(
+                    jnp.einsum("oab,oa->ob", A, dxc[ci]))
+                dxp = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + up)
+            else:
+                U = jnp.zeros((P_shard, K, 6, 3), Rs.dtype).at[
+                    edges.pt_idx, edges.cam_idx].add(JcTJp)
+                M = jnp.einsum("pkab,pbc->pkac", U, Hpp_inv)
+                S_sub = jnp.einsum("pkac,plbc->kalb", M, U)
+                g_sub = jnp.einsum("pkac,pc->ka", M, gp)
+
+                # ---- the collective: psum of reduced camera systems ----
+                S_sub = jax.lax.psum(S_sub, axis)
+                g_sub = jax.lax.psum(g_sub, axis)
+
+                S = -S_sub
+                S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+                g_red = gc - g_sub
+
+                S = S * free[:, None, None, None] * free[None, None, :, None]
+                S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+                    jnp.einsum("k,ab->kab", 1.0 - free,
+                               jnp.eye(6, dtype=Rs.dtype)))
+                g_red = g_red * free[:, None]
+
+                dxc = -jnp.linalg.solve(S.reshape(6 * K, 6 * K),
+                                        g_red.reshape(-1))
+                dxc = dxc.reshape(K, 6)
+                dxp = -jnp.einsum(
+                    "pab,pb->pa", Hpp_inv,
+                    gp + jnp.einsum("pkac,ka->pc", U, dxc))
 
             Rs1, ts1 = jax.vmap(se3.retract)(Rs, ts, dxc)
             Xl1 = Xl + dxp
@@ -253,6 +297,7 @@ def bundle_adjust_sharded(
     n_iters: int = 15,
     axis: str = "data",
     two_phase: bool = False,
+    solver: str = "dense",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Distributed LM.  two_phase=True runs the reference local-BA schedule
     (cfg.local_ba_iters1 robust its, per-shard chi2 outlier gate, then
@@ -260,7 +305,7 @@ def bundle_adjust_sharded(
     per-edge, so gating locally on each shard is exactly the global gate);
     otherwise n_iters robust its.  Returns (Rs, ts, Xs [D, P_shard, 3],
     edge_inliers [D, O_shard])."""
-    run = _sharded_ba_fn(mesh, axis, n_iters, two_phase, cfg)
+    run = _sharded_ba_fn(mesh, axis, n_iters, two_phase, cfg, solver)
     return run(Rs, ts, prob.Xs, prob.cam_idx, prob.pt_idx, prob.uv,
                prob.inv_sigma2, prob.valid, fixed, cam)
 
@@ -269,6 +314,7 @@ def bundle_adjust_dist(
     Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
     cfg: SolverConfig = SolverConfig(), two_phase: bool = True,
     n_shards: int | None = None, mesh: Mesh | None = None,
+    solver: str = "auto",
 ):
     """Drop-in replacement for solvers.bundle_adjust.BAResult over a device
     mesh: landmark-sharded Schur + psum of reduced camera systems.  Used by
@@ -282,9 +328,13 @@ def bundle_adjust_dist(
         mesh = make_mesh(n_shards)
     D = mesh.devices.size
     prob = partition_problem(np.asarray(Xs), edges, D)
+    if solver == "auto":
+        # per-shard block-grid footprint decides, like the single-chip path
+        grid_mb = prob.Xs.shape[1] * Rs.shape[0] * 18 * 4 / 1e6
+        solver = "cg" if grid_mb > 256.0 else "dense"
     Rs1, ts1, Xsh, inl_sh = bundle_adjust_sharded(
         mesh, Rs, ts, prob, fixed, cam, cfg,
-        n_iters=cfg.global_ba_iters, two_phase=two_phase)
+        n_iters=cfg.global_ba_iters, two_phase=two_phase, solver=solver)
     X_full = np.asarray(Xsh).reshape(-1, 3)[: prob.n_points]
     # back-map per-shard edge inliers to the original edge order
     O = np.asarray(edges.cam_idx).shape[0]

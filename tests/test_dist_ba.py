@@ -118,3 +118,25 @@ def test_dist_ba_is_the_pipelines_ba():
     c1 = np.asarray([-r.R.T @ r.t for r in t1.trajectory if r.tracked])
     n = min(len(c8), len(c1))
     assert np.linalg.norm(c8[:n] - c1[:n], axis=1).max() < 0.05
+
+
+def test_sharded_cg_matches_dense(problem):
+    """The matrix-free sharded Schur path (one [K,6] psum per CG matvec)
+    must converge to the dense psum-of-reduced-systems result."""
+    p = problem
+    mesh = dist_ba.make_mesh(8)
+    res_d = dist_ba.bundle_adjust_dist(
+        p["Rs0"], p["ts0"], p["X0"], p["fixed"], p["edges"], make_cam(),
+        SolverConfig(), two_phase=True, mesh=mesh, solver="dense")
+    res_c = dist_ba.bundle_adjust_dist(
+        p["Rs0"], p["ts0"], p["X0"], p["fixed"], p["edges"], make_cam(),
+        SolverConfig(), two_phase=True, mesh=mesh, solver="cg")
+    rmse_d, _ = reproj_rmse(res_d.R, res_d.t, res_d.points, p["edges"],
+                            make_cam())
+    rmse_c, _ = reproj_rmse(res_c.R, res_c.t, res_c.points, p["edges"],
+                            make_cam())
+    assert rmse_c < rmse_d * 1.1 + 0.05, (rmse_d, rmse_c)
+    for k in range(1, 6):
+        dR = np.asarray(res_c.R)[k] @ np.asarray(res_d.R)[k].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 0.05, ang
