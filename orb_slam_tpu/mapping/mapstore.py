@@ -69,6 +69,8 @@ class SlamMap:
     # old->new point-id LUT of the most recent compaction(s), composed; -1 =
     # dropped.  Consumers (async tracker commit) read and clear it.
     last_compaction_lut: Optional[np.ndarray] = None
+    # old->new KEYFRAME-id LUT of the most recent keyframe compaction(s)
+    last_kf_compaction_lut: Optional[np.ndarray] = None
 
     @staticmethod
     def create(cfg: MapConfig, n_slots: int) -> "SlamMap":
@@ -110,7 +112,11 @@ class SlamMap:
     def add_keyframe(self, R, t, xy, level, angle, desc, kp_valid, obs,
                      frame_id: int, timestamp: float, parent: int = -1) -> int:
         if self.n_kf >= self.cfg.max_keyframes:
-            raise RuntimeError("keyframe pool exhausted (compaction TODO)")
+            self.compact_keyframes()
+        if self.n_kf >= self.cfg.max_keyframes:
+            raise RuntimeError(
+                "keyframe pool exhausted (every slot still valid; raise "
+                "MapConfig.max_keyframes for sequences this dense)")
         k = self.n_kf
         # one fused program (k traced -> no recompile per slot); this is on
         # the keyframe-insertion critical path of the tracking thread
@@ -171,6 +177,79 @@ class SlamMap:
             mp_visible=pack(st.mp_visible, fill=1),
         )
         self.n_mp = n_live
+        return freed
+
+    def compact_keyframes(self) -> int:
+        """Pack live keyframes to the front of the pool (culling leaves
+        holes) and remap every keyframe index: spanning tree, loop edges,
+        host metadata, and the landmarks' reference-keyframe ids.  The
+        composed old->new LUT is left in last_kf_compaction_lut for
+        consumers holding keyframe ids (tracker ref_kf, place-recognition
+        rows).  Returns the number of freed slots."""
+        st = self.state
+        K = self.cfg.max_keyframes
+        valid = np.asarray(st.kf_valid)
+        live = np.where(valid[: self.n_kf])[0]
+        n_live = len(live)
+        freed = self.n_kf - n_live
+        if freed == 0:
+            return 0
+        lut = np.full(K + 1, -1, np.int32)
+        lut[live] = np.arange(n_live, dtype=np.int32)
+        if self.last_kf_compaction_lut is None:
+            self.last_kf_compaction_lut = lut.copy()
+        else:
+            prev = self.last_kf_compaction_lut
+            self.last_kf_compaction_lut = np.where(prev >= 0, lut[prev], -1)
+
+        sel = jnp.asarray(live)
+
+        def pack(arr, fill=0):
+            packed = arr[sel]
+            pad = jnp.full((K - n_live,) + arr.shape[1:], fill, arr.dtype)
+            return jnp.concatenate([packed, pad])
+
+        eye_pad = jnp.tile(jnp.eye(3, dtype=st.kf_R.dtype),
+                           (K - n_live, 1, 1))
+        ref_lut = jnp.asarray(lut)
+        new_ref = jnp.where(st.mp_ref_kf >= 0,
+                            ref_lut[jnp.clip(st.mp_ref_kf, 0, K)], -1)
+        new_first = jnp.where(st.mp_first_kf >= 0,
+                              ref_lut[jnp.clip(st.mp_first_kf, 0, K)], -1)
+        self.state = st._replace(
+            kf_valid=jnp.concatenate([
+                jnp.ones(n_live, bool), jnp.zeros(K - n_live, bool)]),
+            kf_R=jnp.concatenate([st.kf_R[sel], eye_pad]),
+            kf_t=pack(st.kf_t),
+            kf_xy=pack(st.kf_xy),
+            kf_level=pack(st.kf_level),
+            kf_angle=pack(st.kf_angle),
+            kf_desc=pack(st.kf_desc),
+            kf_kp_valid=pack(st.kf_kp_valid),
+            kf_obs=pack(st.kf_obs, fill=-1),
+            mp_ref_kf=new_ref,
+            mp_first_kf=new_first,
+        )
+
+        # host metadata + spanning tree + loop edges
+        old_parent = self.parent.copy()
+        new_parent = np.full(K, -1, np.int64)
+        for old_k in live:
+            p = old_parent[old_k]
+            # walk up through culled ancestors (defensive; erasure already
+            # re-parents children, so p is normally live or -1)
+            while p >= 0 and lut[p] < 0:
+                p = old_parent[p]
+            new_parent[lut[old_k]] = lut[p] if p >= 0 else -1
+        self.parent = new_parent
+        self.kf_frame_id = np.concatenate(
+            [self.kf_frame_id[live], np.full(K - n_live, -1, np.int64)])
+        self.kf_timestamp = np.concatenate(
+            [self.kf_timestamp[live], np.zeros(K - n_live)])
+        self.loop_edges = [
+            (int(lut[a]), int(lut[b])) for a, b in (self.loop_edges or [])
+            if lut[a] >= 0 and lut[b] >= 0]
+        self.n_kf = n_live
         return freed
 
     def add_points(self, pos, desc, normal, min_dist, max_dist, ref_kf: int,

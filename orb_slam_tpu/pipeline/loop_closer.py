@@ -53,6 +53,38 @@ class LoopCloser:
             self._mirrors[key] = ent = (arr, np.asarray(arr))
         return ent[1]
 
+    def remap_keyframes(self, lut: np.ndarray):
+        """Apply a keyframe-pool compaction LUT (old id -> new id, -1 =
+        dropped) to every keyframe-indexed structure this stage owns."""
+        if self.db is not None:
+            ids = np.asarray(self.db.ids)
+            w = np.asarray(self.db.w)
+            has = np.asarray(self.db.has_row)
+            K = has.shape[0]
+            new_ids = np.full_like(ids, 2**30)
+            new_w = np.zeros_like(w)
+            new_has = np.zeros_like(has)
+            for old_k in np.where(has)[0]:
+                nk = lut[old_k]
+                if nk >= 0:
+                    new_ids[nk] = ids[old_k]
+                    new_w[nk] = w[old_k]
+                    new_has[nk] = True
+            self.db = type(self.db)(ids=jnp.asarray(new_ids),
+                                    w=jnp.asarray(new_w),
+                                    has_row=jnp.asarray(new_has))
+        self.kf_bow = {int(lut[k]): v for k, v in self.kf_bow.items()
+                       if lut[k] >= 0}
+        self.consistent_groups = [
+            ({int(lut[k]) for k in group if lut[k] >= 0}, count)
+            for group, count in self.consistent_groups]
+        self.consistent_groups = [(g, c) for g, c in self.consistent_groups
+                                  if g]
+        if self.last_loop_kf >= 0 and lut[self.last_loop_kf] >= 0:
+            self.last_loop_kf = int(lut[self.last_loop_kf])
+        if self._mirrors is not None:
+            self._mirrors.clear()
+
     def _covis_np(self, st) -> np.ndarray:
         # cached per kf_obs generation (the [K,P]@[P,K] incidence product is
         # ~2 GFLOP of BLAS — compute once per map mutation, not per query)

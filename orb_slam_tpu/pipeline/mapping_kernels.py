@@ -338,7 +338,7 @@ def fuse_into_keyframe_tables(
     selc = jnp.clip(sel, 0, None)
     slot, ok = fuse_into_keyframe(
         kf_xy[target], kf_desc[target], lv,
-        kf_kp_valid[target] & (obs_row > -2),  # obs_row keeps the row arg live
+        kf_kp_valid[target],
         obs_row,
         kf_R[target], kf_t[target],
         mp_pos[selc], mp_desc[selc], cand_valid, selc,

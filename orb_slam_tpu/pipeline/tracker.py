@@ -1184,6 +1184,23 @@ class Tracker:
         if frame_id is None:
             frame_id = self.frame_id
         smap = self.slam_map
+
+        # keyframe-pool compaction at the insertion boundary: pack the holes
+        # culling left and remap every keyframe-indexed consumer BEFORE the
+        # old ref_kf id is used as the new keyframe's parent
+        if smap.n_kf >= self.cfg.map.max_keyframes:
+            smap.last_kf_compaction_lut = None
+            freed = smap.compact_keyframes()
+            if freed > 0:
+                lut = smap.last_kf_compaction_lut
+                smap.last_kf_compaction_lut = None
+                if self.ref_kf >= 0:
+                    self.ref_kf = int(lut[self.ref_kf])
+                self._sel_dirty = True
+                if self.loop_closer is not None:
+                    self.loop_closer.remap_keyframes(lut)
+                metrics["kf_compaction_freed"] = freed
+
         kf = smap.add_keyframe(
             self.last_R, self.last_t,
             fd.xy_und, fd.feats.level, fd.feats.angle, fd.feats.desc,

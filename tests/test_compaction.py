@@ -76,3 +76,91 @@ def test_full_pool_truncates_gracefully():
     # all 20 existing points live: only 4 of 10 fit
     assert (new_ids >= 0).sum() == 4
     assert smap.n_mp == 24
+
+
+def test_keyframe_compaction_packs_and_remaps():
+    """compact_keyframes packs live keyframes, remaps the spanning tree,
+    loop edges, host metadata, and mp_ref_kf/mp_first_kf."""
+    from orb_slam_tpu.config import MapConfig
+    cfg = MapConfig(max_keyframes=6, max_points=32)
+    n = 8
+    smap = mapstore.SlamMap.create(cfg, n_slots=n)
+    rng = np.random.default_rng(3)
+
+    def add_kf(parent):
+        return smap.add_keyframe(
+            jnp.eye(3), jnp.full(3, float(smap.n_kf)),
+            jnp.asarray(rng.uniform(0, 100, (n, 2)).astype(np.float32)),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n),
+            jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32)),
+            jnp.ones(n, bool), jnp.full(n, -1, jnp.int32),
+            frame_id=smap.n_kf * 10, timestamp=float(smap.n_kf),
+            parent=parent)
+
+    ks = [add_kf(-1)]
+    for _ in range(5):
+        ks.append(add_kf(ks[-1]))
+    ids = smap.add_points(
+        jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32)),
+        jnp.zeros((n, 3)), jnp.zeros(n), jnp.full(n, np.inf),
+        ks[2], np.ones(n, bool))
+    smap.set_observations(ks[4], jnp.arange(n), jnp.asarray(ids))
+    smap.loop_edges = [(ks[1], ks[4])]
+
+    # cull keyframes 2 and 3 (observations already cleared for 2: none)
+    st = smap.state
+    smap.state = st._replace(
+        kf_valid=st.kf_valid.at[jnp.asarray([ks[2], ks[3]])].set(False))
+    # re-parent k4 to k1 like the eraser would
+    smap.parent[ks[4]] = ks[1]
+
+    t_before = np.asarray(smap.state.kf_t)[[0, 1, 4, 5]]
+    freed = smap.compact_keyframes()
+    assert freed == 2
+    assert smap.n_kf == 4
+    lut = smap.last_kf_compaction_lut
+    assert lut[ks[0]] == 0 and lut[ks[1]] == 1
+    assert lut[ks[2]] == -1 and lut[ks[3]] == -1
+    assert lut[ks[4]] == 2 and lut[ks[5]] == 3
+
+    st = smap.state
+    np.testing.assert_array_equal(np.asarray(st.kf_t)[:4], t_before)
+    assert list(np.asarray(st.kf_valid)[:4]) == [True] * 4
+    assert not np.asarray(st.kf_valid)[4:].any()
+    # spanning tree: k4 (-> new 2) hangs off k1 (-> new 1); k5 walks
+    # through culled k4? no - k5's parent k4 is live -> new 2
+    assert smap.parent[2] == 1
+    assert smap.parent[3] == 2
+    assert smap.loop_edges == [(1, 2)]
+    assert list(smap.kf_frame_id[:4]) == [0, 10, 40, 50]
+    # landmarks' reference keyframe ks[2] was culled -> -1; obs rows moved
+    assert (np.asarray(st.mp_ref_kf)[np.asarray(ids)] == -1).all()
+    obs_new = np.asarray(st.kf_obs)
+    np.testing.assert_array_equal(obs_new[2], np.asarray(ids))
+
+
+def test_keyframe_pool_full_compacts_on_insert():
+    """add_keyframe at a full pool with holes compacts instead of raising."""
+    from orb_slam_tpu.config import MapConfig
+    cfg = MapConfig(max_keyframes=4, max_points=16)
+    n = 4
+    smap = mapstore.SlamMap.create(cfg, n_slots=n)
+    rng = np.random.default_rng(0)
+
+    def add_kf():
+        return smap.add_keyframe(
+            jnp.eye(3), jnp.zeros(3),
+            jnp.asarray(rng.uniform(0, 100, (n, 2)).astype(np.float32)),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n),
+            jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32)),
+            jnp.ones(n, bool), jnp.full(n, -1, jnp.int32),
+            frame_id=smap.n_kf, timestamp=0.0, parent=-1)
+
+    for _ in range(4):
+        add_kf()
+    st = smap.state
+    smap.state = st._replace(kf_valid=st.kf_valid.at[1].set(False))
+    k = add_kf()  # would raise without compaction
+    assert k == 3
+    assert smap.n_kf == 4
