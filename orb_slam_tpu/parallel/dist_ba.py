@@ -54,18 +54,43 @@ class ShardedBAProblem(NamedTuple):
     src_idx: np.ndarray | None = None  # [D, O_shard] host int64 original edge
     #                                    index (-1 padding), for back-mapping
     n_points: int = 0        # true (unpadded) landmark count
+    perm: np.ndarray | None = None  # [P_total] original->packed landmark
+    #                                 permutation (spatial strategy), None
+    #                                 when landmarks keep allocation order
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1)).bit_length()
 
 
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """[P, 3] uint32 (10-bit) -> interleaved 30-bit Morton codes."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x30000FF)
+        v = (v | (v << 8)) & np.uint64(0x300F00F)
+        v = (v | (v << 4)) & np.uint64(0x30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x9249249)
+        return v
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+
+
 def partition_problem(
     Xs: np.ndarray, edges: BAEdges, n_shards: int,
     o_shard: int | None = None,
+    strategy: str = "index",
 ) -> ShardedBAProblem:
-    """Partition landmarks contiguously across shards and route each edge to
-    its landmark's shard (host-side, keyframe-rate).
+    """Partition landmarks across shards and route each edge to its
+    landmark's shard (host-side, keyframe-rate).
+
+    strategy="index" keeps allocation order (SLAM allocation is roughly
+    temporal, so contiguous blocks are already map-local for exploration);
+    strategy="spatial" is map-block sharding (SURVEY §5.7): landmarks are
+    Morton-ordered so each shard owns a compact spatial block — under
+    revisits/loops, allocation order interleaves regions while spatial
+    blocks keep each shard's edge set confined to few keyframes (the
+    prerequisite for sparse per-shard camera systems at city scale).
 
     Per-shard edge capacity is padded to `o_shard` if given, else to the next
     power of two — a handful of shape buckets means the jitted solver
@@ -73,6 +98,19 @@ def partition_problem(
     P_total = Xs.shape[0]
     P_shard = -(-P_total // n_shards)
     pt = np.asarray(edges.pt_idx)
+
+    perm = None
+    if strategy == "spatial" and P_total > 0:
+        X = np.asarray(Xs)
+        lo = X.min(axis=0)
+        span = np.maximum(X.max(axis=0) - lo, 1e-9)
+        q = np.clip(((X - lo) / span * 1023), 0, 1023).astype(np.uint32)
+        order = np.argsort(_morton3(q), kind="stable")  # packed rank -> orig
+        perm = np.empty(P_total, np.int64)              # orig -> packed rank
+        perm[order] = np.arange(P_total)
+        Xs = np.asarray(Xs)[order]
+        pt = perm[pt]
+
     owner = np.clip(pt // P_shard, 0, n_shards - 1)
     local_pt = pt - owner * P_shard
 
@@ -112,6 +150,7 @@ def partition_problem(
         valid=jnp.asarray(val),
         src_idx=src,
         n_points=P_total,
+        perm=perm,
     )
 
 
@@ -314,7 +353,7 @@ def bundle_adjust_dist(
     Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
     cfg: SolverConfig = SolverConfig(), two_phase: bool = True,
     n_shards: int | None = None, mesh: Mesh | None = None,
-    solver: str = "auto",
+    solver: str = "auto", strategy: str = "index",
 ):
     """Drop-in replacement for solvers.bundle_adjust.BAResult over a device
     mesh: landmark-sharded Schur + psum of reduced camera systems.  Used by
@@ -327,7 +366,7 @@ def bundle_adjust_dist(
     if mesh is None:
         mesh = make_mesh(n_shards)
     D = mesh.devices.size
-    prob = partition_problem(np.asarray(Xs), edges, D)
+    prob = partition_problem(np.asarray(Xs), edges, D, strategy=strategy)
     if solver == "auto":
         # per-shard block-grid footprint decides, like the single-chip path
         grid_mb = prob.Xs.shape[1] * Rs.shape[0] * 18 * 4 / 1e6
@@ -336,6 +375,8 @@ def bundle_adjust_dist(
         mesh, Rs, ts, prob, fixed, cam, cfg,
         n_iters=cfg.global_ba_iters, two_phase=two_phase, solver=solver)
     X_full = np.asarray(Xsh).reshape(-1, 3)[: prob.n_points]
+    if prob.perm is not None:  # spatial strategy: back to allocation order
+        X_full = X_full[prob.perm]
     # back-map per-shard edge inliers to the original edge order
     O = np.asarray(edges.cam_idx).shape[0]
     inl = np.zeros(O, bool)

@@ -140,3 +140,52 @@ def test_sharded_cg_matches_dense(problem):
         dR = np.asarray(res_c.R)[k] @ np.asarray(res_d.R)[k].T
         ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
         assert ang < 0.05, ang
+
+
+def test_spatial_partition_matches_index(problem):
+    """Map-block (Morton-ordered) landmark sharding must give the same
+    optimum as allocation-order sharding, with positions returned in the
+    original allocation order."""
+    p = problem
+    mesh = dist_ba.make_mesh(8)
+    res_i = dist_ba.bundle_adjust_dist(
+        p["Rs0"], p["ts0"], p["X0"], p["fixed"], p["edges"], make_cam(),
+        SolverConfig(), two_phase=True, mesh=mesh, strategy="index")
+    res_s = dist_ba.bundle_adjust_dist(
+        p["Rs0"], p["ts0"], p["X0"], p["fixed"], p["edges"], make_cam(),
+        SolverConfig(), two_phase=True, mesh=mesh, strategy="spatial")
+    np.testing.assert_allclose(np.asarray(res_s.t), np.asarray(res_i.t),
+                               atol=2e-3)
+    # same landmarks, same order
+    np.testing.assert_allclose(np.asarray(res_s.points),
+                               np.asarray(res_i.points), atol=2e-3)
+    # inlier masks agree in the original edge order
+    agree = (np.asarray(res_s.edge_inliers)
+             == np.asarray(res_i.edge_inliers)).mean()
+    assert agree > 0.99, agree
+
+
+def test_spatial_partition_blocks_are_compact(problem):
+    """Each spatial shard's landmarks span a smaller bounding volume than
+    random allocation-order blocks would under interleaved revisits."""
+    rng = np.random.default_rng(7)
+    p = problem
+    X = np.asarray(p["X0"])
+    # simulate a revisit: shuffle allocation order so index blocks interleave
+    shuf = rng.permutation(len(X))
+    Xs = X[shuf]
+    prob = dist_ba.partition_problem(Xs, p["edges"], 8, strategy="spatial")
+    P_shard = prob.Xs.shape[1]
+    packed = np.asarray(Xs)[np.argsort(prob.perm)]  # packed order
+    vol_spatial = []
+    for d in range(8):
+        blk = packed[d * P_shard: min((d + 1) * P_shard, len(X))]
+        if len(blk):
+            vol_spatial.append(np.prod(blk.max(0) - blk.min(0) + 1e-6))
+    vol_index = []
+    for d in range(8):
+        blk = Xs[d * P_shard: min((d + 1) * P_shard, len(X))]
+        if len(blk):
+            vol_index.append(np.prod(blk.max(0) - blk.min(0) + 1e-6))
+    assert np.median(vol_spatial) < 0.5 * np.median(vol_index), (
+        np.median(vol_spatial), np.median(vol_index))
