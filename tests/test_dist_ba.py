@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from jax.sharding import Mesh
+
 from orb_slam_tpu.config import SolverConfig
 from orb_slam_tpu.parallel import dist_ba
 from orb_slam_tpu.solvers import bundle_adjust as ba
@@ -189,3 +191,24 @@ def test_spatial_partition_blocks_are_compact(problem):
             vol_index.append(np.prod(blk.max(0) - blk.min(0) + 1e-6))
     assert np.median(vol_spatial) < 0.5 * np.median(vol_index), (
         np.median(vol_spatial), np.median(vol_index))
+
+
+def test_host_mesh_layout():
+    """make_host_mesh: 2D (model x data) over the virtual devices, data
+    axis innermost (ICI-contiguous); dist BA runs on its data axis."""
+    from orb_slam_tpu.parallel import hostmesh
+    mesh = hostmesh.make_host_mesh(data_parallel=4, model_parallel=2)
+    assert mesh.shape == {"model": 2, "data": 4}
+    # the data axis must enumerate adjacent jax.devices() entries
+    devs = jax.devices()
+    row0 = list(mesh.devices[0])
+    assert row0 == devs[:4]
+
+    rng = np.random.default_rng(3)
+    p = build_problem(rng, n_kf=4, n_pts=64, noise=0.2)
+    prob = dist_ba.partition_problem(np.asarray(p["X0"]), p["edges"], 4)
+    Rs, ts, _, _ = dist_ba.bundle_adjust_sharded(
+        Mesh(np.asarray(mesh.devices[0]), ("data",)),
+        p["Rs0"], p["ts0"], prob, p["fixed"], make_cam(),
+        SolverConfig(), n_iters=3)
+    assert np.all(np.isfinite(np.asarray(ts)))
