@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import SystemConfig
 from ..geometry import se3, sim3, camera as cam_mod
 from ..mapping import mapstore
+from ..utils.timing import GLOBAL_TIMER as _timer
 from ..ops import match as m
 from ..place import vocabulary as voc_mod
 from ..place import database as db_mod
@@ -142,17 +143,20 @@ class LoopCloser:
                 or smap.n_kf < self.cfg.loop.min_kfs_between_loops:
             return metrics
 
-        cand = self._detect(smap, kf)
+        with _timer.stage("loopclosing", "detect"):
+            cand = self._detect(smap, kf)
         metrics["loop_candidates"] = len(cand)
         if not len(cand):
             return metrics
 
-        hit = self._compute_sim3(smap, kf, cand)
+        with _timer.stage("loopclosing", "computeSim3"):
+            hit = self._compute_sim3(smap, kf, cand)
         if hit is None:
             return metrics
         loop_kf, g12 = hit
         metrics["loop_with"] = loop_kf
-        self._correct(smap, kf, loop_kf, g12)
+        with _timer.stage("loopclosing", "correctLoop"):
+            self._correct(smap, kf, loop_kf, g12)
         self.last_loop_kf = kf
         self.n_loops_closed += 1
         metrics["loop_closed"] = True

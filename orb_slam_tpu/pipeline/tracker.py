@@ -655,6 +655,9 @@ class Tracker:
         self._chain = None
         for rec in recs:
             out = rec["out"]
+            if "recs" in rec:  # a batched (frame_step_scan) record
+                self._abort_batch_rows(out, rec["recs"], 0, rec["n_real"])
+                continue
             fd = frame_mod.FrameData(
                 feats=FrameFeatures(
                     xy=out.xy, response=out.response, angle=out.angle,

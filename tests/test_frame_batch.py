@@ -81,3 +81,54 @@ def test_batched_partial_flush():
     fids = [r.frame_id for r in s.tracker.trajectory]
     assert len(set(fids)) == len(fids)
     assert max(fids) == 17
+
+
+@pytest.mark.slow
+def test_batched_loss_mid_batch_recovers():
+    """A blackout inside a batch must mark the lost rows untracked, route
+    the rest through the staged machine, and relocalize when texture
+    returns — same contract as the per-frame pipeline."""
+    rng = np.random.default_rng(5)
+    n_pts = 500
+    X = np.stack([
+        rng.uniform(-6, 6, n_pts),
+        rng.uniform(-3.5, 3.5, n_pts),
+        rng.uniform(4, 10, n_pts),
+    ], 1).astype(np.float32)
+    patches = rng.uniform(0, 255, (n_pts, 9, 9)).astype(np.float32)
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=500, fy=500, cx=320, cy=240,
+                            k1=0, k2=0, p1=0, p2=0, k3=0,
+                            width=640, height=480),
+        extractor=ExtractorConfig(n_features=600, max_keypoints=640,
+                                  n_levels=4),
+        matcher=MatcherConfig(window_init=120),
+        map=MapConfig(max_keyframes=32, max_points=4096,
+                      local_ba_max_kfs=8, local_ba_max_fixed=8,
+                      local_ba_max_points=2048),
+        tracker=TrackerConfig(async_mapping=True, frame_batch=4,
+                              reset_if_lost_before_kfs=0),
+    )
+    system = System.create(cfg)
+    K = cfg.camera.K
+    black = np.full((480, 640), 90.0, np.float32)
+    for i in range(26):
+        if 14 <= i < 18:     # blackout spanning a batch boundary
+            img = black
+        else:
+            R = rotmat([0, 1, 0], np.radians(0.3 * min(i, 13)))
+            t = np.array([-0.08 * min(i, 13), 0.0, 0.01 * min(i, 13)],
+                         np.float32)
+            img = render_image(X, patches, R, t, K)
+        system.process_image(img, timestamp=i / 30.0)
+    system.tracker.finish()
+    rec = {r.frame_id: r for r in system.tracker.trajectory}
+    # lost frames recorded as untracked, not silently dropped
+    lost = [f for f in range(14, 18) if f in rec and not rec[f].tracked]
+    assert lost, "blackout frames should appear untracked"
+    # after texture returns the system relocalizes (or it reset+reinit —
+    # either way it must end WORKING and track the tail)
+    assert system.tracker.state == TrackState.WORKING
+    tail_tracked = sum(1 for f in range(20, 26)
+                       if f in rec and rec[f].tracked)
+    assert tail_tracked >= 3, tail_tracked
