@@ -15,7 +15,7 @@ level VMEM-resident and turns every patch access into one-hot MXU matmuls:
       moments    = S_rows @ window  ⊙  W_moment @ S_cols   (two matmuls)
       cos/sin    = m10/|m|, m01/|m|          (≡ cos/sin of atan2(m01, m10))
       samples    = (S_rowsel @ blurred_window) ⊙ S_colsel, row-reduced,
-                   computed separately for the p- and q-point banks
+                   both compare banks in one [512, WIN] selection
       descriptor = pair compares, bit-packed by two exact f32 matmuls
                    (16-bit halves — sums < 2^16 are exact in f32)
 
@@ -56,11 +56,13 @@ def _moment_weights() -> tuple[np.ndarray, np.ndarray]:
 
 
 def _pattern_banks() -> tuple[np.ndarray, ...]:
-    """(pxp, pyp, pxq, pyq), each [256, 1] f32 — the BRIEF pair endpoints
-    split into the two compared banks."""
+    """(px, py), each [512, 1] f32 — BRIEF pair endpoints with the p bank
+    in rows 0..255 and the q bank in rows 256..511, so ONE [512, WIN]
+    selection matmul samples both compare operands."""
     pts = np.asarray(brief._POINTS, np.float32)            # [512, 2] pairs
-    return (pts[0::2, 0:1].copy(), pts[0::2, 1:2].copy(),
-            pts[1::2, 0:1].copy(), pts[1::2, 1:2].copy())
+    px = np.concatenate([pts[0::2, 0:1], pts[1::2, 0:1]]).copy()
+    py = np.concatenate([pts[0::2, 1:2], pts[1::2, 1:2]]).copy()
+    return px, py
 
 
 def _pack_weights() -> tuple[np.ndarray, np.ndarray]:
@@ -83,10 +85,8 @@ def _kernel(xy_ref, dims_ref, raw_ref, blur_ref, wmom_ref, banks_ref,
     lw = dims_ref[0, 0, 1]
     wm10 = wmom_ref[0]                                     # [32, 32]
     wm01 = wmom_ref[1]
-    pxp = banks_ref[0]                                     # [256, 1] each
-    pyp = banks_ref[1]
-    pxq = banks_ref[2]
-    pyq = banks_ref[3]
+    px = banks_ref[0]                                      # [512, 1] each
+    py = banks_ref[1]
     wlo = pack_ref[0]                                      # [256, 8]
     whi = pack_ref[1]
     mom_sel0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1)
@@ -134,27 +134,23 @@ def _kernel(xy_ref, dims_ref, raw_ref, blur_ref, wmom_ref, banks_ref,
         # --- steered BRIEF: 2 x 256 rotated samples, one bank at a time -
         blr16 = blr.astype(jnp.bfloat16)
 
-        def bank(px, py):
-            gx = jnp.round(px * ca - py * sa + fx)         # [256, 1]
-            gy = jnp.round(px * sa + py * ca + fy)
-            lx = jnp.clip(jnp.clip(gx.astype(jnp.int32), 0, lw - 1) - cx0,
-                          0, WIN_C - 1)
-            ly = jnp.clip(jnp.clip(gy.astype(jnp.int32), 0, lh - 1) - ry,
-                          0, WIN_R - 1)
-            srow_i = jax.lax.broadcasted_iota(jnp.int32, (256, WIN_R), 1)
-            srow = (srow_i == ly).astype(jnp.bfloat16)
-            # NOT exact: blurred pixels are fractional f32 and bf16 rounds
-            # them — but the pair COMPARE only flips when the two samples
-            # agree to <1/256 of their magnitude, and the gaussian-blurred
-            # field rarely does; measured 0.05 differing bits/descriptor,
-            # within the XLA-path-vs-reference tolerance used elsewhere.
-            rows = jnp.dot(srow, blr16,
-                           preferred_element_type=jnp.float32)  # [256, 256]
-            scol_i = jax.lax.broadcasted_iota(jnp.int32, (256, WIN_C), 1)
-            scol = (scol_i == lx).astype(jnp.float32)
-            return jnp.sum(rows * scol, axis=1, keepdims=True)  # [256, 1]
-
-        bits = (bank(pxp, pyp) < bank(pxq, pyq)).astype(jnp.float32)
+        # both compare banks sampled by ONE [512, WIN] selection matmul
+        # (bit-exact in bf16: {0,1} selectors picking integer blurred
+        # pixels — the blurred pyramid is 8-bit-quantized upstream)
+        gx = jnp.round(px * ca - py * sa + fx)             # [512, 1]
+        gy = jnp.round(px * sa + py * ca + fy)
+        lx = jnp.clip(jnp.clip(gx.astype(jnp.int32), 0, lw - 1) - cx0,
+                      0, WIN_C - 1)
+        ly = jnp.clip(jnp.clip(gy.astype(jnp.int32), 0, lh - 1) - ry,
+                      0, WIN_R - 1)
+        srow_i = jax.lax.broadcasted_iota(jnp.int32, (512, WIN_R), 1)
+        srow = (srow_i == ly).astype(jnp.bfloat16)
+        rows = jnp.dot(srow, blr16,
+                       preferred_element_type=jnp.float32)  # [512, WIN_C]
+        scol_i = jax.lax.broadcasted_iota(jnp.int32, (512, WIN_C), 1)
+        scol = (scol_i == lx).astype(jnp.float32)
+        samples = jnp.sum(rows * scol, axis=1, keepdims=True)  # [512, 1]
+        bits = (samples[:256] < samples[256:]).astype(jnp.float32)
         lo = jax.lax.dot_general(bits, wlo, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
@@ -187,7 +183,7 @@ def orient_describe(stack, blurred, kp_xy, dims, *, interpret=False):
     xy_flat = kp_xy.reshape(L, 1, cap * 2)
     dims3 = dims.reshape(L, 1, 2)
     wmom = jnp.asarray(np.stack(_moment_weights()))        # [2, 32, 32]
-    banks = jnp.asarray(np.stack(_pattern_banks()))        # [4, 256, 1]
+    banks = jnp.asarray(np.stack(_pattern_banks()))        # [2, 512, 1]
     pack = jnp.asarray(np.stack(_pack_weights()))          # [2, 256, 8]
 
     mom, desc = pl.pallas_call(
@@ -204,7 +200,7 @@ def orient_describe(stack, blurred, kp_xy, dims, *, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 32, 32), lambda l: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 256, 1), lambda l: (0, 0, 0),
+            pl.BlockSpec((2, 512, 1), lambda l: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 256, 8), lambda l: (0, 0, 0),
                          memory_space=pltpu.VMEM),
