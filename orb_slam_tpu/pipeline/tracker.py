@@ -122,6 +122,11 @@ class Tracker:
 
     @staticmethod
     def create(cfg: SystemConfig) -> "Tracker":
+        if cfg.tracker.frame_batch > 1 and not cfg.tracker.async_mapping:
+            raise ValueError(
+                "frame_batch > 1 requires async_mapping: synchronous "
+                "keyframe mapping mutates the landmark pools mid-batch, "
+                "invalidating the in-flight rows' associations")
         cam = cam_mod.make_camera(cfg.camera)
         smap = mapstore.SlamMap.create(cfg.map, cfg.extractor.max_keypoints)
         lm = LocalMapper(cfg=cfg, cam=cam)
