@@ -92,7 +92,7 @@ class FrameStepScanOut(NamedTuple):
     "ext_cfg", "matcher_cfg", "solver_cfg", "use_pallas",
     "min_track_inliers"))
 def frame_step_scan(
-    images,
+    images, row_valid,
     last_desc, last_level, last_angle, last_pos, last_valid,
     mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
     sel,
@@ -124,7 +124,8 @@ def frame_step_scan(
     lmin = mp_min_dist[selc]
     lmax = mp_max_dist[selc]
 
-    def body(carry, image):
+    def body(carry, xs):
+        image, row_ok = xs
         (desc0, level0, angle0, pos0, valid0,
          R_l, t_l, R_p, t_p, lm_prev, vis, fnd, has_vel) = carry
 
@@ -155,9 +156,11 @@ def frame_step_scan(
         pid_global = jnp.where(
             assoc.valid & inliers, sel[assoc.point_idx], -1).astype(jnp.int32)
         next_pos = mp_pos[jnp.clip(pid_global, 0, None)]
-        vis = vis.at[selc].add((visible & lvalid).astype(jnp.int32))
+        # padded rows (partial flush) must not bump landmark statistics
+        vis = vis.at[selc].add(
+            (visible & lvalid & row_ok).astype(jnp.int32))
         fnd = fnd.at[jnp.clip(pid_global, 0, None)].add(
-            (pid_global >= 0).astype(jnp.int32))
+            ((pid_global >= 0) & row_ok).astype(jnp.int32))
 
         blob = jnp.concatenate([
             R_fin.reshape(9), t_fin,
@@ -181,7 +184,7 @@ def frame_step_scan(
               R_last, t_last, R_prev, t_prev,
               prev_lm_matches.astype(jnp.int32),
               mp_visible, mp_found, jnp.asarray(has_vel0))
-    carry, stacked = jax.lax.scan(body, carry0, images)
+    carry, stacked = jax.lax.scan(body, carry0, (images, row_valid))
     (xy, xy_und, response, angle, level, desc, kp_valid,
      inv_s2, s2, Rb, tb, blobs) = stacked
     return FrameStepScanOut(

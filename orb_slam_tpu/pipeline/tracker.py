@@ -440,6 +440,7 @@ class Tracker:
         while len(imgs) < B:   # pad a partial flush: ONE compiled program
             imgs.append(imgs[-1])
         images = np.stack(imgs)
+        row_valid = np.arange(B) < n_real
         st = self.slam_map.state
         chain = self._chain if self._chain is not None else self._build_chain()
         sel = self._refresh_sel()
@@ -447,7 +448,7 @@ class Tracker:
                       and not self.cfg.extractor.score_harris)
         with _timer.stage("tracking", "dispatchFrameStep"):
             out = fs.frame_step_scan(
-                images,
+                images, row_valid,
                 chain["desc"], chain["level"], chain["angle"],
                 chain["pos"], chain["valid"],
                 st.mp_pos, st.mp_desc, st.mp_normal, st.mp_min_dist,
@@ -462,14 +463,20 @@ class Tracker:
                 solver_cfg=self.cfg.solver, use_pallas=use_pallas,
                 min_track_inliers=tcfg.min_track_inliers)
         self._pipe.append(dict(out=out, recs=recs, n_real=n_real))
-        self._chain = dict(
-            desc=out.last_desc, level=out.last_level, angle=out.last_angle,
-            pos=out.next_last_pos, valid=out.next_last_valid,
-            R_last=out.R_last, t_last=out.t_last,
-            R_prev=out.R_prev, t_prev=out.t_prev,
-            lm=out.lm_matches,
-            mp_visible=out.mp_visible, mp_found=out.mp_found,
-            has_vel=bool(tcfg.use_motion_model))
+        if n_real == B:
+            self._chain = dict(
+                desc=out.last_desc, level=out.last_level,
+                angle=out.last_angle,
+                pos=out.next_last_pos, valid=out.next_last_valid,
+                R_last=out.R_last, t_last=out.t_last,
+                R_prev=out.R_prev, t_prev=out.t_prev,
+                lm=out.lm_matches,
+                mp_visible=out.mp_visible, mp_found=out.mp_found,
+                has_vel=bool(tcfg.use_motion_model))
+        else:
+            # padded flush: the final carry tracked duplicated frames —
+            # rebuild the chain from host state at the next dispatch
+            self._chain = None
 
     def _retire_batch(self):
         """Fetch one batch's host blobs (ONE readback) and run the per-frame
