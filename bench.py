@@ -94,7 +94,10 @@ class SceneRenderer:
                                wf[..., 1] * self.PX_FAR)
         img_n = _sample_bilinear(self.tex_near, wn[..., 0] * self.PX_NEAR,
                                  wn[..., 1] * self.PX_NEAR)
-        return np.where(near_hit, img_n, img).astype(np.float32)
+        # 8-bit output like a real camera: 4x less upload than f32, and the
+        # extractor quantizes the pyramid to ints anyway
+        return np.clip(np.round(np.where(near_hit, img_n, img)),
+                       0, 255).astype(np.uint8)
 
 
 def rotmat(axis, angle):

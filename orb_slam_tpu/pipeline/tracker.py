@@ -436,7 +436,9 @@ class Tracker:
             return
         B = tcfg.frame_batch
         n_real = len(recs)
-        imgs = [np.asarray(r["image"], np.float32) for r in recs]
+        # keep the caller's dtype: 8-bit frames upload 4x less than f32
+        # through the device link (the scan casts to f32 in-program)
+        imgs = [np.asarray(r["image"]) for r in recs]
         while len(imgs) < B:   # pad a partial flush: ONE compiled program
             imgs.append(imgs[-1])
         images = np.stack(imgs)
