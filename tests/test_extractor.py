@@ -140,3 +140,85 @@ def test_level_quotas_sum():
     q = extractor.level_quotas(cfg, 1000)
     assert sum(q) == 1000
     assert q[0] > q[-1]
+
+
+def test_fast_score_matches_numpy_golden(rng):
+    """Independent exhaustive numpy FAST-9 (literal per-pixel arc scan, no
+    shared code with ops/fast.py) must agree with the vectorized score map —
+    stage-level golden check standing in for a reference binary."""
+    from orb_slam_tpu.ops.fast import CIRCLE, ARC_LEN, fast_score
+
+    img = rng.uniform(0, 255, (48, 56)).astype(np.float32)
+    th = 12.0
+
+    def golden(img, th):
+        h, w = img.shape
+        out = np.zeros((h, w), np.float32)
+        for y in range(3, h - 3):
+            for x in range(3, w - 3):
+                c = img[y, x]
+                margins_b = np.array(
+                    [img[y + dy, x + dx] - c for dx, dy in CIRCLE])
+                margins_d = -margins_b
+                best = 0.0
+                for margins in (margins_b, margins_d):
+                    ext = np.concatenate([margins, margins])
+                    for i in range(16):
+                        m = ext[i:i + ARC_LEN].min()
+                        if m > best:
+                            best = m
+                if best >= th:
+                    out[y, x] = best
+        return out
+
+    ours = np.asarray(fast_score(jnp.asarray(img), th))
+    ref = golden(img, th)
+    # interior only (the vectorized map zeroes the 3 px border identically)
+    np.testing.assert_allclose(ours[3:-3, 3:-3], ref[3:-3, 3:-3],
+                               rtol=0, atol=1e-4)
+
+
+def test_ic_angle_and_brief_match_numpy_golden(rng):
+    """Literal per-keypoint numpy IC_Angle + steered-BRIEF (the reference's
+    algorithm written independently: circular-mask moments, cvRound'd
+    rotated pattern, little-endian bit packing) must agree with the batched
+    kernels."""
+    from orb_slam_tpu.ops import patches as pat
+    from orb_slam_tpu.ops import brief as br
+
+    img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+    xy = np.stack([rng.uniform(20, 108, 12), rng.uniform(20, 76, 12)],
+                  1).astype(np.float32)
+
+    ours_ang = np.asarray(pat.ic_angle(jnp.asarray(img), jnp.asarray(xy)))
+    ours_desc = np.asarray(br.brief_descriptors(
+        jnp.asarray(img), jnp.asarray(xy), jnp.asarray(ours_ang)))
+
+    r = pat.HALF_PATCH
+    pts = np.asarray(br._POINTS, np.float64)
+    for n in range(len(xy)):
+        cx, cy = int(round(xy[n, 0])), int(round(xy[n, 1]))
+        m10 = m01 = 0.0
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if dx * dx + dy * dy <= r * r:
+                    v = img[cy + dy, cx + dx]
+                    m10 += dx * v
+                    m01 += dy * v
+        ang = np.arctan2(m01, m10)
+        assert abs(np.angle(np.exp(1j * (ang - ours_ang[n])))) < 1e-4, n
+
+        ca, sa = np.cos(ang), np.sin(ang)
+        words = np.zeros(8, np.uint32)
+        for j in range(256):
+            def sample(p):
+                sx = int(round(p[0] * ca - p[1] * sa + xy[n, 0]))
+                sy = int(round(p[0] * sa + p[1] * ca + xy[n, 1]))
+                return img[np.clip(sy, 0, 95), np.clip(sx, 0, 127)]
+            bit = sample(pts[2 * j]) < sample(pts[2 * j + 1])
+            if bit:
+                words[j // 32] |= np.uint32(1) << np.uint32(j % 32)
+        ham = sum(bin(int(v)).count("1")
+                  for v in np.bitwise_xor(words, ours_desc[n]))
+        # float rounding at .5 boundaries can flip an isolated sample
+        assert ham <= 1, (n, ham)
