@@ -162,11 +162,22 @@ def optimize_essential_graph_dist(
     s, R, t, fixed, edges: Sim3Edges, n_iters: int = 20,
     n_shards: int | None = None, mesh: Mesh | None = None,
 ):
-    """Drop-in twin of pose_graph.optimize_essential_graph over a mesh."""
+    """Drop-in twin of pose_graph.optimize_essential_graph over a mesh.
+
+    Small graphs auto-reduce the shard count: sharding 500 edges 8 ways is
+    pure collective overhead (every GN iteration pays the psum latency for
+    ~60 edges of work per device — measured 100x SLOWDOWN on the virtual
+    mesh).  Keyframe-block sharding pays off when per-shard edge counts
+    amortize the collective, i.e. city-scale essential graphs."""
     from .dist_ba import make_mesh
 
+    min_edges_per_shard = 512
+    E = int(np.asarray(edges.valid).sum()) if hasattr(edges, "valid") \
+        else edges.i.shape[0]
     if mesh is None:
-        mesh = make_mesh(n_shards)
+        want = n_shards or len(jax.devices())
+        want = max(1, min(want, E // min_edges_per_shard or 1))
+        mesh = make_mesh(want)
     D = mesh.devices.size
     sharded = partition_edges(edges, s.shape[0], D)
     s1, R1, t1 = optimize_essential_graph_sharded(
