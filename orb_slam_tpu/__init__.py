@@ -40,4 +40,21 @@ def _enable_compilation_cache():
 
 _enable_compilation_cache()
 
-from .config import SystemConfig  # noqa: F401
+from .config import (  # noqa: F401,E402
+    CameraConfig,
+    ExtractorConfig,
+    MapConfig,
+    MatcherConfig,
+    MeshConfig,
+    SolverConfig,
+    SystemConfig,
+    TrackerConfig,
+)
+
+
+def load_system(settings_path: str):
+    """Build a System from a reference-format Settings.yaml (lazy import —
+    keeps `import orb_slam_tpu` light)."""
+    from .dataio.settings import load_settings
+    from .pipeline.system import System
+    return System.create(load_settings(settings_path))
