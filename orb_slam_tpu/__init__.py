@@ -52,9 +52,10 @@ from .config import (  # noqa: F401,E402
 )
 
 
-def load_system(settings_path: str):
+def load_system(settings_path: str, width: int = 640, height: int = 480):
     """Build a System from a reference-format Settings.yaml (lazy import —
-    keeps `import orb_slam_tpu` light)."""
-    from .dataio.settings import load_settings
+    keeps `import orb_slam_tpu` light).  Image size is not stored in the
+    reference's settings format, so pass it explicitly."""
+    from .dataio.settings import config_from_settings
     from .pipeline.system import System
-    return System.create(load_settings(settings_path))
+    return System.create(config_from_settings(settings_path, width, height))
