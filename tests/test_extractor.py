@@ -222,3 +222,28 @@ def test_ic_angle_and_brief_match_numpy_golden(rng):
                   for v in np.bitwise_xor(words, ours_desc[n]))
         # float rounding at .5 boundaries can flip an isolated sample
         assert ham <= 1, (n, ham)
+
+
+def test_two_threshold_gate_matches_numpy_golden(rng):
+    """Literal per-cell numpy reproduction of ORBextractor.cc:607-614:
+    detect at hi per cell; cells with no hi corner keep their low-threshold
+    corners."""
+    from orb_slam_tpu.ops.detect import two_threshold_gate
+
+    h, w, cy, cx = 40, 60, 4, 5
+    score = np.zeros((h, w), np.float32)
+    idx = rng.choice(h * w, 120, replace=False)
+    score.flat[idx] = rng.uniform(5, 40, 120)
+    hi = 20.0
+
+    ours = np.asarray(two_threshold_gate(jnp.asarray(score), hi, cy, cx))
+
+    ch, cw = -(-h // cy), -(-w // cx)
+    ref = score.copy()
+    for iy in range(cy):
+        for ix in range(cx):
+            blk = score[iy*ch:(iy+1)*ch, ix*cw:(ix+1)*cw]
+            if (blk > hi).any():
+                out = np.where(blk <= hi, 0.0, blk)
+                ref[iy*ch:(iy+1)*ch, ix*cw:(ix+1)*cw] = out
+    np.testing.assert_array_equal(ours, ref)
