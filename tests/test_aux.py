@@ -94,3 +94,17 @@ def test_associate_by_time():
     ia, ib = traj.associate_by_time(a, b, max_dt=0.05)
     assert list(ia) == [0, 1]
     assert list(ib) == [0, 1]
+
+
+def test_device_trace_top_ops(tmp_path):
+    """utils/profiling captures a device trace and summarizes op times."""
+    import jax.numpy as jnp
+    from orb_slam_tpu.utils.profiling import device_trace, top_ops
+
+    d = str(tmp_path / "trace")
+    with device_trace(d):
+        x = jnp.ones((128, 128))
+        (x @ x).block_until_ready()
+    ops = top_ops(d)
+    assert ops and ops[0][0] >= 0.0
+    assert any(isinstance(n, str) and n for _, n in ops)
