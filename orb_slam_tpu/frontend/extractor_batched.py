@@ -113,11 +113,18 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
         score = jnp.where(interior, score, 0.0)
         blurred_stack = None
 
-    # two-threshold fallback per cell (ORBextractor.cc:607-614), vmapped
-    # over levels
+    # two-threshold fallback per cell (ORBextractor.cc:607-614), applied on
+    # each level's TRUE extent: gating the padded canvas would grow the
+    # effective cell size ~scale_factor^level and put most cells on padding.
+    # `shapes` is static, so this unrolls into L static slices in one program.
     if cfg.fast_threshold > cfg.fast_threshold_min:
-        score = jax.vmap(lambda s: detect.two_threshold_gate(
-            s, float(cfg.fast_threshold), cfg.cells_y, cfg.cells_x))(score)
+        gated = []
+        for li, (h_l, w_l) in enumerate(shapes):
+            g = detect.two_threshold_gate(
+                score[li, :h_l, :w_l], float(cfg.fast_threshold),
+                cfg.cells_y, cfg.cells_x)
+            gated.append(jnp.pad(g, ((0, H0 - h_l), (0, W0 - w_l))))
+        score = jnp.stack(gated)
 
     # per-level selection with a uniform slot count, then per-level quota by
     # rank masking (select_keypoints returns scores sorted descending)

@@ -81,8 +81,11 @@ class LoopCloser:
             for group, count in self.consistent_groups]
         self.consistent_groups = [(g, c) for g, c in self.consistent_groups
                                   if g]
-        if self.last_loop_kf >= 0 and lut[self.last_loop_kf] >= 0:
-            self.last_loop_kf = int(lut[self.last_loop_kf])
+        if self.last_loop_kf >= 0:
+            nk = int(lut[self.last_loop_kf])
+            # if compaction dropped the anchor, a stale index would make the
+            # min_kfs_between_loops gate count from an unrelated keyframe
+            self.last_loop_kf = nk if nk >= 0 else -(10**9)
         if self._mirrors is not None:
             self._mirrors.clear()
 

@@ -701,6 +701,11 @@ class Tracker:
         res = self.async_mapper.flush()
         if res is not None:
             self._commit_mapping(res, metrics)
+        # the drain may already have retired a frame whose keyframe decision
+        # inserted this exact frame — don't insert it twice
+        if (self.trajectory
+                and self.last_kf_frame_id == self.trajectory[-1].frame_id):
+            return
         self._create_keyframe(
             self.last_frame, self.trajectory[-1].timestamp,
             self.last_assoc_pid, metrics,
@@ -885,6 +890,11 @@ class Tracker:
     # ------------------------------------------------------------------
     def _track(self, fd, timestamp, metrics):
         tcfg = self.cfg.tracker
+        # after batched tracking (process_image, frame_batch>1) the last
+        # frame lives only as a stacked-batch slice; materialize it before
+        # the staged path dereferences it
+        if self.last_frame is None and self._last_stacked is not None:
+            self.last_frame = self._materialize_frame(*self._last_stacked)
         # --- pose prediction (motion model, Tracking.cc:130-139) ----------
         if tcfg.use_motion_model and self.vel_R is not None:
             R_pred = jnp.asarray(self.vel_R) @ self.last_R

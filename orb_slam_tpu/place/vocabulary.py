@@ -37,6 +37,11 @@ import jax.numpy as jnp
 
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
+# pad word id for empty SparseBow slots: larger than any real word id and
+# identical across vocabularies, so shared-word counting can mask pads by id
+# alone (matches BowDatabase's empty-row pad)
+PAD_ID = 2**30
+
 
 class Vocabulary(NamedTuple):
     """Dense k-ary vocabulary tree over packed 256-bit descriptors."""
@@ -53,7 +58,7 @@ class Vocabulary(NamedTuple):
 class SparseBow(NamedTuple):
     """L1-normalized TF-IDF vector as sorted (word id, weight) pairs.
 
-    ids: [W] int32 ascending; padding uses id = n_words (weight 0).
+    ids: [W] int32 ascending; padding uses id = PAD_ID (weight 0).
     weights: [W] float32, sums to 1 over real entries (0 if frame empty).
     """
 
@@ -143,9 +148,9 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 4,
         weights = np.where(
             seen > 0, np.log(n_docs / np.maximum(seen, 1)), 0.0
         ).astype(np.float32)
-        # words never seen score 0 like DBoW2's Ni==0 case; fully common
-        # words (idf 0) keep an epsilon so they still count as shared
-        weights = np.where((seen > 0) & (weights <= 0), 1e-3, weights)
+        # words never seen or fully common get idf 0 exactly like DBoW2's
+        # setNodeWeights; shared-word counting is id-based so weight-0
+        # words still count toward min_common_words
     else:
         weights = np.ones(n_words, np.float32)
 
@@ -213,26 +218,33 @@ def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray
     ids = ids[order]
     w = w[order]
     s = jnp.sum(w)
+    # re-id pads from the weight-table slot (n_words) to the universal
+    # PAD_ID so intersection masks don't need the vocabulary size
+    ids = jnp.where(ids == pad, jnp.int32(PAD_ID), ids)
     return SparseBow(ids=ids.astype(jnp.int32), weights=w / jnp.maximum(s, 1e-9))
 
 
 def _merge(ai, aw, bi, bw):
     """Align b's entries onto a's id slots via sorted-merge (searchsorted).
-    Returns (a weights, b weights) restricted to the common-word support —
-    zeros elsewhere — so any L-p intersection sum is a masked reduction."""
+    Returns (a weights, b weights, shared) where the weights are restricted
+    to the common-word support — zeros elsewhere, so any L-p intersection
+    sum is a masked reduction — and `shared` is the weight-INDEPENDENT id
+    intersection mask (DBoW2's inverted-file shared-word counting includes
+    idf-0 words; KeyFrameDatabase.cc:75-196)."""
     W = bi.shape[0]
     idx = jnp.clip(jnp.searchsorted(bi, ai), 0, W - 1)
-    hit = (bi[idx] == ai) & (aw > 0)
+    shared = (bi[idx] == ai) & (ai < PAD_ID)
+    hit = shared & (aw > 0)
     bwm = jnp.where(hit, bw[idx], 0.0)
     awm = jnp.where(bwm > 0, aw, 0.0)
-    return awm, bwm
+    return awm, bwm, shared
 
 
 def score_l1(a: SparseBow, b: SparseBow) -> jnp.ndarray:
     """DBoW2 L1 score in [0, 1] for L1-normalized vectors
     (ScoringObject.cpp L1Scoring): 1 - 0.5|a-b|_1, computed over the sparse
     intersection: sum over common words of (a_i + b_i - |a_i - b_i|) / 2."""
-    aw, bw = _merge(a.ids, a.weights, b.ids, b.weights)
+    aw, bw, _ = _merge(a.ids, a.weights, b.ids, b.weights)
     return jnp.sum(0.5 * (aw + bw - jnp.abs(aw - bw)))
 
 
@@ -240,17 +252,17 @@ def score_l1_many(a: SparseBow, ids: jnp.ndarray, w: jnp.ndarray):
     """Score `a` against stacked sparse rows ids/w [K, W].  Returns
     (scores [K], shared word counts [K])."""
     def one(bi, bw):
-        aw, bwm = _merge(a.ids, a.weights, bi, bw)
+        aw, bwm, shared = _merge(a.ids, a.weights, bi, bw)
         sc = jnp.sum(0.5 * (aw + bwm - jnp.abs(aw - bwm)))
-        shared = jnp.sum(bwm > 0)
-        return sc, shared
+        return sc, jnp.sum(shared)
     return jax.vmap(one)(ids, w)
 
 
 def densify(voc: Vocabulary, bow: SparseBow) -> jnp.ndarray:
     """[n_words] dense vector (tests / small-vocab diagnostics)."""
     vec = jnp.zeros(voc.n_words + 1, jnp.float32)
-    return vec.at[bow.ids].add(bow.weights)[: voc.n_words]
+    ids = jnp.minimum(bow.ids, voc.n_words)   # route PAD_ID to the pad slot
+    return vec.at[ids].add(bow.weights)[: voc.n_words]
 
 
 # ----------------------------------------------------------------------
