@@ -207,8 +207,7 @@ class LoopConfig:
     """Loop detection / correction (src/LoopClosing.cc, KeyFrameDatabase.cc)."""
 
     min_kfs_between_loops: int = 10     # gate (:111)
-    consistency_threshold: int = 3      # consecutive-KF consistency (:152-228)
-    covisibility_consistency_th: int = 3
+    consistency_threshold: int = 3      # mnCovisibilityConsistencyTh (:152-228)
     min_bow_matches: int = 20           # SearchByBoW gate (:300)
     min_sim3_inliers: int = 20          # OptimizeSim3 gate (:328)
     min_total_matches: int = 40         # final accept (:391)
@@ -232,8 +231,9 @@ class MapConfig:
 
     max_keyframes: int = 512
     max_points: int = 32768
-    max_obs_per_kf: int = 1024          # == ExtractorConfig.max_keypoints
-    max_obs_per_point: int = 64         # observation list cap per landmark
+    # (per-keyframe observation capacity == ExtractorConfig.max_keypoints;
+    # per-point observation lists don't exist — covisibility and fuse sets
+    # are derived from the [K, N] incidence, so no per-point cap is needed)
     local_ba_max_kfs: int = 64          # local BA window capacity
     local_ba_max_fixed: int = 64
     local_ba_max_points: int = 8192

@@ -78,6 +78,10 @@ def _build_stack(image, shapes, tile_rows=48):
 def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
                     n_features: int, max_keypoints: int,
                     use_pallas: bool = False) -> FrameFeatures:
+    if cfg.patch_size != 2 * patches.HALF_PATCH + 1:
+        raise ValueError(
+            f"patch_size={cfg.patch_size}: the IC-angle mask and BRIEF "
+            f"pattern are generated for {2 * patches.HALF_PATCH + 1}")
     h, w = image.shape
     shapes = level_shapes(cfg, h, w)
     quotas = level_quotas(cfg, n_features)

@@ -392,6 +392,28 @@ def covisibility_matrix(state: MapState, n_points: int) -> jnp.ndarray:
     return W - jnp.diag(jnp.diag(W))
 
 
+def connected_weights(weights, min_weight: int):
+    """KeyFrame::UpdateConnections edge rule (src/KeyFrame.cc:378-421): a
+    covisibility EDGE exists only for weight >= min_weight (15); a keyframe
+    none of whose edges pass keeps its single best edge.  All neighbor /
+    group / exclusion queries go through connected sets in the reference,
+    so raw shared-observation counts must be filtered by this rule before
+    any `> 0` test or top-k selection.
+
+    Host-side numpy; accepts a [K] row or [K, K] matrix (rows independent).
+    """
+    W = np.asarray(weights)
+    one = W.ndim == 1
+    Wm = W[None, :] if one else W
+    keep = Wm >= min_weight
+    none = ~keep.any(axis=1) & (Wm.max(axis=1, initial=0) > 0)
+    if none.any():
+        rows = np.where(none)[0]
+        keep[rows, Wm[rows].argmax(axis=1)] = True
+    out = np.where(keep, Wm, 0)
+    return out[0] if one else out
+
+
 def point_observation_counts(state: MapState) -> jnp.ndarray:
     """[P] number of keyframes observing each point."""
     P = state.mp_valid.shape[0]

@@ -60,7 +60,10 @@ class LocalMapper:
         row = (seen[np.clip(obs, 0, P)] & (obs >= 0)).sum(axis=1)
         row = row * kf_valid
         row[kf] = 0
-        return row.astype(np.int64)
+        # covisibility EDGES require weight >= 15 with a best-edge fallback
+        # (src/KeyFrame.cc:378-421); every neighbor query runs on edges
+        return mapstore.connected_weights(
+            row.astype(np.int64), self.cfg.loop.covisibility_weight_min)
 
     # ------------------------------------------------------------------
     def process_keyframe(self, smap: mapstore.SlamMap, kf: int) -> dict:
@@ -160,6 +163,8 @@ class LocalMapper:
             epipolar_chi2=self.cfg.local_mapping.epipolar_chi2,
             reproj_chi2=self.cfg.local_mapping.reproj_chi2,
             scale_factor=self.cfg.extractor.scale_factor,
+            histo_length=self.cfg.matcher.histo_length,
+            check_orientation=self.cfg.matcher.check_orientation,
         )
         blob = np.asarray(jnp.concatenate([
             res.ok.astype(jnp.float32)[:, None], res.X,
@@ -503,7 +508,8 @@ class LocalMapper:
             from ..parallel import dist_ba
             return dist_ba.bundle_adjust_dist(
                 Rs, ts, Xs, fixed, edges, self.cam, self.cfg.solver,
-                two_phase=two_phase, n_shards=n_shards)
+                two_phase=two_phase, n_shards=n_shards,
+                axis=self.cfg.mesh.data_axis)
         return ba.bundle_adjust(Rs, ts, Xs, fixed, edges, self.cam,
                                 self.cfg.solver, two_phase=two_phase)
 

@@ -107,6 +107,9 @@ class LoopCloser:
         W = (B @ B.T).astype(np.int64)
         W *= kf_valid[:, None] & kf_valid[None, :]
         np.fill_diagonal(W, 0)
+        # edge rule: weight >= 15 or best-edge fallback (KeyFrame.cc:378-421)
+        W = mapstore.connected_weights(
+            W, self.cfg.loop.covisibility_weight_min)
         self._mirrors["covis_W"] = (st.kf_obs, W)
         return W
     rng_key: jax.Array = field(default_factory=lambda: jax.random.PRNGKey(7))
@@ -259,10 +262,24 @@ class LoopCloser:
             me2 = jnp.asarray(9.21 * scale2[np.clip(lv2, 0, len(scale2) - 1)])
 
             self.rng_key, sub = jax.random.split(self.rng_key)
+            # RANSAC budget from the adaptive formula the reference seeds
+            # with SetRansacParameters(0.99, 20, 300) (Sim3Solver.cc:59-83):
+            # eps = minInliers/N, iters = log(1-p)/log(1-eps^3), capped at
+            # max_iters.  Rounded up to a power of two: n_samples is a
+            # static arg, so buckets bound recompiles.
+            scfg = self.cfg.solver
+            n_corr = int(np.asarray(pv).sum())
+            eps = min(1.0 - 1e-6,
+                      scfg.sim3_min_inliers / max(n_corr, 1))
+            n_samp = int(np.ceil(np.log(max(1e-9, 1.0 - scfg.sim3_prob))
+                                 / np.log(1.0 - eps ** 3)))
+            n_samp = max(32, min(n_samp, scfg.sim3_max_iters))
+            n_samp = 1 << (n_samp - 1).bit_length()
             res = sim3_solver.sim3_ransac(
                 sub, X1, X2,
                 st.kf_xy[kf], st.kf_xy[cand][jnp.asarray(idx2)],
                 me1, me2, jnp.asarray(pv), K,
+                n_samples=n_samp,
                 min_inliers=self.cfg.loop.min_sim3_inliers)
             if not bool(res.ok):
                 continue
@@ -483,7 +500,7 @@ class LoopCloser:
                 dist_pose_graph.optimize_essential_graph_dist(
                     s_all, R_all, t_all, fixed, edges,
                     n_iters=self.cfg.solver.essential_graph_iters,
-                    n_shards=n_shards)
+                    n_shards=n_shards, axis=self.cfg.mesh.model_axis)
         else:
             s_new, R_new, t_new, _ = pose_graph.optimize_essential_graph(
                 s_all, R_all, t_all, fixed, edges,

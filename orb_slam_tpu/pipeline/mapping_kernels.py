@@ -39,7 +39,8 @@ class TriangulationResult(NamedTuple):
     ok: jnp.ndarray      # [N1] all gates passed
 
 
-@partial(jax.jit, static_argnames=("scale_factor",))
+@partial(jax.jit, static_argnames=("scale_factor", "histo_length",
+                                   "check_orientation"))
 def triangulate_between(
     xy1, desc1, level1, angle1, free1,
     xy2, desc2, level2, angle2, free2,
@@ -50,6 +51,8 @@ def triangulate_between(
     epipolar_chi2: float = 3.84,
     reproj_chi2: float = 5.991,
     scale_factor: float = 1.2,
+    histo_length: int = 30,
+    check_orientation: bool = True,
 ) -> TriangulationResult:
     """Epipolar-gated matching of unassociated keypoints between two
     keyframes + batched triangulation with the reference's acceptance gates."""
@@ -62,8 +65,11 @@ def triangulate_between(
     )
     gated = m.apply_masks(dist, mask)
     mm = m.match_nn(gated, max_dist=max_dist)
-    keep = m.rotation_consistency(angle1, angle2, mm)
-    mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist, valid=keep)
+    if check_orientation:
+        keep = m.rotation_consistency(angle1, angle2, mm,
+                                      histo_length=histo_length)
+        mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist,
+                       valid=keep)
     mm = m.resolve_duplicates(mm, xy2.shape[0])
 
     j = jnp.clip(mm.idx, 0, None)
@@ -274,7 +280,8 @@ class MultiTriangulation(NamedTuple):
     nb_of: jnp.ndarray    # [N] winning neighbor keyframe id
 
 
-@partial(jax.jit, static_argnames=("scale_factor",))
+@partial(jax.jit, static_argnames=("scale_factor", "histo_length",
+                                   "check_orientation"))
 def triangulate_multi(
     kf_row, nb_idx, nb_valid,
     kf_xy, kf_desc, kf_level, kf_angle, kf_kp_valid, kf_obs,
@@ -284,6 +291,8 @@ def triangulate_multi(
     epipolar_chi2: float = 3.84,
     reproj_chi2: float = 5.991,
     scale_factor: float = 1.2,
+    histo_length: int = 30,
+    check_orientation: bool = True,
 ) -> MultiTriangulation:
     """CreateNewMapPoints over ALL covisible neighbors as ONE program
     (src/LocalMapping.cc:220-386 loops neighbors on the host; here the pair
@@ -310,7 +319,9 @@ def triangulate_multi(
             R1, t1, kf_R[nb], kf_t[nb],
             s2_1, s2[jnp.clip(lv2, 0, s2.shape[0] - 1)],
             K, cam, max_dist=max_dist, epipolar_chi2=epipolar_chi2,
-            reproj_chi2=reproj_chi2, scale_factor=scale_factor)
+            reproj_chi2=reproj_chi2, scale_factor=scale_factor,
+            histo_length=histo_length,
+            check_orientation=check_orientation)
         return res.slot2, res.X, res.ok & nbv
 
     slot2s, Xs, oks = jax.vmap(one)(nb_idx, nb_valid)     # [Nn, N, ...]

@@ -40,11 +40,20 @@ class System:
         return System(cfg=cfg, tracker=Tracker.create(cfg))
 
     def process_image(self, image: np.ndarray, timestamp: float) -> dict:
-        """image: [H, W] grayscale in [0, 255].
+        """image: [H, W] grayscale or [H, W, 3] color in [0, 255].
+
+        Color frames are converted host-side with BT.601 luma weights in
+        the channel order declared by Camera.RGB (GrabImageMonocular's
+        cvtColor RGB2GRAY/BGR2GRAY split, src/Tracking.cc:141-152).
 
         WORKING-state frames run extraction + tracking as one fused device
         program (pipeline/frame_step.py); other states take the staged path.
         """
+        if getattr(image, "ndim", 2) == 3:
+            w = np.asarray([0.299, 0.587, 0.114], np.float32)
+            if not self.cfg.camera.rgb:
+                w = w[::-1]                      # channels arrive as BGR
+            image = np.asarray(image, np.float32) @ w
         with self.timer.stage("tracking", "grabImage"):
             return self.tracker.process_image(image, timestamp)
 

@@ -34,13 +34,15 @@ class Association(NamedTuple):
     valid: jnp.ndarray      # [N] bool
 
 
-@partial(jax.jit, static_argnames=("scale_factor", "ratio"))
+@partial(jax.jit, static_argnames=("scale_factor", "ratio", "histo_length",
+                                   "check_orientation"))
 def match_last_frame(
     cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
     last_pos, last_desc, last_level, last_angle, last_pt_valid,
     R_pred, t_pred, cam: CameraParams,
     radius: float = 15.0, max_dist: int = 100, scale_factor: float = 1.2,
-    ratio: float = 1.0,
+    ratio: float = 1.0, histo_length: int = 30,
+    check_orientation: bool = True,
 ) -> Association:
     """Rows = last frame's landmark-bearing slots, cols = current keypoints."""
     xc = se3.transform(R_pred, t_pred, last_pos)
@@ -60,8 +62,11 @@ def match_last_frame(
     gated = m.apply_masks(dist, mask)
     mm = m.match_nn(gated, max_dist=max_dist, ratio=ratio)
     mm = m.Matches(idx=mm.idx, dist=mm.dist, valid=mm.valid)
-    keep = m.rotation_consistency(last_angle, cur_angle, mm)
-    mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist, valid=keep)
+    if check_orientation:   # mbCheckOrientation (ORBmatcher.cc ctor)
+        keep = m.rotation_consistency(last_angle, cur_angle, mm,
+                                      histo_length=histo_length)
+        mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist,
+                       valid=keep)
     mm = m.resolve_duplicates(mm, cur_xy.shape[0])
 
     # invert: per current slot -> source last-slot landmark (1:1 after
@@ -173,7 +178,9 @@ def tracking_megastep(
             cur_xy, cur_desc, cur_level, cur_angle, cur_valid,
             last_pos, last_desc, last_level, last_angle, last_pt_valid,
             R_pred, t_pred, cam, radius=radius, max_dist=mcfg.th_high,
-            scale_factor=scale_factor, ratio=ratio)
+            scale_factor=scale_factor, ratio=ratio,
+            histo_length=mcfg.histo_length,
+            check_orientation=mcfg.check_orientation)
 
     a_narrow = f2f(jnp.float32(mcfg.radius_f2f), 1.0)
     n_narrow = jnp.sum(a_narrow.valid)
@@ -229,11 +236,13 @@ def tracking_megastep(
     return R_fin, r2.t, assoc2, r2.inliers, visible, stats
 
 
-@partial(jax.jit, static_argnames=("max_dist", "ratio"))
+@partial(jax.jit, static_argnames=("max_dist", "ratio", "histo_length",
+                                   "check_orientation"))
 def init_window_match(
     xy1, desc1, level1, angle1, valid1,
     xy2, desc2, level2, angle2, valid2,
     radius: float = 100.0, max_dist: int = 50, ratio: float = 0.9,
+    histo_length: int = 30, check_orientation: bool = True,
 ):
     """SearchForInitialization (src/ORBmatcher.cc:598-713): window search at
     level 0, mutual best, ratio test, rotation consistency.  Returns Matches
@@ -245,6 +254,9 @@ def init_window_match(
     )
     gated = m.apply_masks(dist, mask)
     mm = m.match_nn(gated, max_dist=max_dist, ratio=ratio, mutual=True)
-    keep = m.rotation_consistency(angle1, angle2, mm)
-    mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist, valid=keep)
+    if check_orientation:
+        keep = m.rotation_consistency(angle1, angle2, mm,
+                                      histo_length=histo_length)
+        mm = m.Matches(idx=jnp.where(keep, mm.idx, -1), dist=mm.dist,
+                       valid=keep)
     return m.resolve_duplicates(mm, xy2.shape[0])

@@ -75,6 +75,7 @@ class Tracker:
     state: TrackState = TrackState.NOT_INITIALIZED
     frame_id: int = 0
     last_kf_frame_id: int = -10**9
+    last_reloc_frame_id: int = -10**9
     ref_kf: int = -1
     n_ref_tracked: int = 0
 
@@ -136,7 +137,8 @@ class Tracker:
             from .async_mapper import AsyncMapper
             am = AsyncMapper(lm, lc)
         return Tracker(cfg=cfg, cam=cam, slam_map=smap, local_mapper=lm,
-                       loop_closer=lc, async_mapper=am)
+                       loop_closer=lc, async_mapper=am,
+                       rng_key=jax.random.PRNGKey(cfg.seed))
 
     # ------------------------------------------------------------------
     def process(self, feats: FrameFeatures, timestamp: float) -> dict:
@@ -279,14 +281,35 @@ class Tracker:
                 self._commit_mapping(res, {})
 
     def extract(self, image) -> FrameFeatures:
-        """Default extraction path: level-batched, Pallas-fused on TPU."""
+        """Default extraction path: level-batched, Pallas-fused on TPU.
+
+        During initialization the feature budget is init_features_mult x
+        the runtime budget (the reference builds mpIniORBextractor with
+        2*nFeatures, src/Tracking.cc:128) — one extra compile bucket; the
+        init frames are reduced back to the runtime width at map creation
+        (_compress_init)."""
         from ..frontend.extractor_batched import extract_batched
         ecfg = self.cfg.extractor
         use_pallas = (jax.default_backend() in ("tpu", "axon")
                       and not ecfg.score_harris)
+        n_feat, cap = ecfg.n_features, ecfg.max_keypoints
+        if (self.state in (TrackState.NOT_INITIALIZED,
+                           TrackState.INITIALIZING)
+                and ecfg.init_features_mult > 1):
+            n_feat *= ecfg.init_features_mult
+            cap *= ecfg.init_features_mult
         return extract_batched(
-            jnp.asarray(image, jnp.float32), ecfg, ecfg.n_features,
-            ecfg.max_keypoints, use_pallas)
+            jnp.asarray(image, jnp.float32), ecfg, n_feat, cap, use_pallas)
+
+    def _inlier_floor(self, frame_id: int) -> int:
+        """TrackLocalMap acceptance floor: 50 inliers within
+        reloc_recent_frames_mult*fps frames of a relocalisation, 30
+        otherwise (src/Tracking.cc:272-275)."""
+        tcfg = self.cfg.tracker
+        recent = frame_id - self.last_reloc_frame_id < int(
+            tcfg.reloc_recent_frames_mult * self.cfg.camera.fps)
+        return (tcfg.min_localmap_inliers_reloc if recent
+                else tcfg.min_localmap_inliers)
 
     def _track_fused(self, image, timestamp, metrics):
         """WORKING-state tracking via the single fused frame program,
@@ -504,7 +527,7 @@ class Tracker:
                            n_visible=n_vis, inliers=n_inl)
             self._prev_localmap_matches = n_lm
 
-            if n_inl < tcfg.min_localmap_inliers:
+            if n_inl < self._inlier_floor(fid):
                 self.trajectory.append(
                     FrameRecord(fid, timestamp, Rc, tc, False))
                 self._chain = None
@@ -609,7 +632,7 @@ class Tracker:
                 level=out.level, desc=out.desc, valid=out.kp_valid),
             xy_und=out.xy_und, inv_sigma2=out.inv_sigma2, sigma2=out.sigma2)
 
-        if n_inl < tcfg.min_localmap_inliers:
+        if n_inl < self._inlier_floor(fid):
             self.trajectory.append(FrameRecord(fid, timestamp, Rc, tc, False))
             self._chain = None
             if self.slam_map.n_kf <= tcfg.reset_if_lost_before_kfs:
@@ -736,6 +759,8 @@ class Tracker:
             radius=float(self.cfg.matcher.window_init),
             max_dist=self.cfg.matcher.th_low,
             ratio=self.cfg.matcher.nn_ratio_init,
+            histo_length=self.cfg.matcher.histo_length,
+            check_orientation=self.cfg.matcher.check_orientation,
         )
         n_matches = int(jnp.sum(mm.valid))
         metrics["init_matches"] = n_matches
@@ -756,7 +781,69 @@ class Tracker:
             # keep the reference frame; try again with the next frame
             return
 
+        f0, f1, mm, res = self._compress_init(f0, f1, mm, res)
         self._create_initial_map(f0, f1, mm, res, timestamp, metrics)
+
+    def _gather_frame_rows(self, fd, rows, row_valid):
+        g = jnp.asarray(rows)
+        f = fd.feats
+        feats = FrameFeatures(
+            xy=f.xy[g], response=f.response[g], angle=f.angle[g],
+            level=f.level[g], desc=f.desc[g],
+            valid=f.valid[g] & jnp.asarray(row_valid))
+        return frame_mod.FrameData(
+            feats=feats, xy_und=fd.xy_und[g],
+            inv_sigma2=fd.inv_sigma2[g], sigma2=fd.sigma2[g])
+
+    def _compress_init(self, f0, f1, mm, res):
+        """The init frames carry init_features_mult x the runtime feature
+        budget (src/Tracking.cc:128) but map pools are sized for the
+        runtime budget: reduce both frames to max_keypoints rows before
+        map creation — triangulation inliers first (kept aligned at rows
+        0..m-1 of both frames), then highest-response fill.  Init-rate
+        host work."""
+        W = self.cfg.extractor.max_keypoints
+        if f0.xy_und.shape[0] <= W and f1.xy_und.shape[0] <= W:
+            return f0, f1, mm, res
+        good = np.asarray(res.good) & np.asarray(mm.valid)
+        idx = np.asarray(mm.idx)
+        slots0 = np.where(good)[0][:W]
+        slots1 = idx[slots0]
+        m0 = len(slots0)
+
+        def keep(matched, fd):
+            v = np.asarray(fd.feats.valid)
+            resp = np.asarray(fd.feats.response)
+            rest = np.where(v)[0]
+            rest = rest[~np.isin(rest, matched)]
+            rest = rest[np.argsort(-resp[rest])]
+            k = np.concatenate([matched, rest])[:W].astype(np.int64)
+            kv = np.zeros(W, bool)
+            kv[: len(k)] = True
+            if len(k) < W:
+                k = np.concatenate([k, np.zeros(W - len(k), np.int64)])
+            return k, kv
+
+        k0, kv0 = keep(slots0, f0)
+        k1, kv1 = keep(slots1, f1)
+        nf0 = self._gather_frame_rows(f0, k0, kv0)
+        nf1 = self._gather_frame_rows(f1, k1, kv1)
+
+        new_idx = np.full(W, -1, np.int32)
+        new_idx[:m0] = np.arange(m0)        # matched rows lead in BOTH frames
+        new_valid = np.zeros(W, bool)
+        new_valid[:m0] = True
+        new_pts = np.zeros((W, 3), np.float32)
+        new_pts[:m0] = np.asarray(res.points)[slots0]
+        new_dist = np.zeros(W, np.int32)
+        new_dist[:m0] = np.asarray(mm.dist)[slots0]
+        mm2 = mm._replace(idx=jnp.asarray(new_idx),
+                          dist=jnp.asarray(new_dist),
+                          valid=jnp.asarray(new_valid))
+        res2 = res._replace(points=jnp.asarray(new_pts),
+                            good=jnp.asarray(new_valid),
+                            n_good=jnp.asarray(m0))
+        return nf0, nf1, mm2, res2
 
     def _create_initial_map(self, f0, f1, mm, res, timestamp, metrics):
         """CreateInitialMap (src/Tracking.cc:394-479): two keyframes, the
@@ -870,6 +957,7 @@ class Tracker:
         self.ref_kf = -1
         self.vel_R = None
         self.last_kf_frame_id = -10**9
+        self.last_reloc_frame_id = -10**9
         self.n_ref_tracked = 0
         self._prev_localmap_matches = 0
         self._sel_cache = None
@@ -930,7 +1018,7 @@ class Tracker:
         metrics["inliers"] = n_inl
         R_cur, t_cur = R_fin, t_fin
 
-        if n_inl < tcfg.min_localmap_inliers:
+        if n_inl < self._inlier_floor(self.frame_id):
             self.trajectory.append(FrameRecord(
                 self.frame_id, timestamp,
                 np.asarray(R_cur), np.asarray(t_cur), False))
@@ -1022,8 +1110,9 @@ class Tracker:
         st = self.slam_map.state
         bow = voc_mod.transform(lc.voc, fd.feats.desc, fd.feats.valid)
         P = self.cfg.map.max_points
-        covis = np.asarray(
-            mapstore.covisibility_matrix(st, P)).astype(np.float64)
+        covis = mapstore.connected_weights(
+            np.asarray(mapstore.covisibility_matrix(st, P)),
+            self.cfg.loop.covisibility_weight_min).astype(np.float64)
         cands = db_mod.detect_candidates(
             lc.db, bow, np.zeros(self.cfg.map.max_keyframes, bool), covis,
             min_score=None)
@@ -1051,10 +1140,22 @@ class Tracker:
             pvalid = np.asarray(mm.valid) & (pid >= 0)
             X = st.mp_pos[jnp.asarray(np.clip(pid, 0, None))]
             self.rng_key, sub = jax.random.split(self.rng_key)
+            # EPnP RANSAC budget per SetRansacParameters(0.99, 10, 300, 4,
+            # 0.5, 5.991) (Tracking.cc:922, PnPsolver.cc:85-116):
+            # iters = log(1-p)/log(1-eps^min_set) capped at max_iters;
+            # power-of-2 bucket since n_samples is a static arg.
+            scfg = self.cfg.solver
+            n_samp = int(np.ceil(
+                np.log(max(1e-9, 1.0 - scfg.pnp_prob))
+                / np.log(1.0 - scfg.pnp_epsilon ** scfg.pnp_min_set)))
+            n_samp = max(32, min(n_samp, scfg.pnp_max_iters))
+            n_samp = 1 << (n_samp - 1).bit_length()
             res = pnp.pnp_ransac(
                 sub, X, fd.xy_und, fd.inv_sigma2, jnp.asarray(pvalid),
                 jnp.asarray(self.cfg.camera.K),
-                min_inliers=self.cfg.solver.pnp_min_inliers)
+                n_samples=n_samp, min_set=scfg.pnp_min_set,
+                chi2_th=scfg.pnp_th2,
+                min_inliers=scfg.pnp_min_inliers)
             if not bool(res.ok):
                 continue
             r1 = pose_opt.optimize_pose(
@@ -1121,6 +1222,7 @@ class Tracker:
             self.vel_R, self.vel_t = None, None
             self._prev_localmap_matches = n_inl
             self.state = TrackState.WORKING
+            self.last_reloc_frame_id = self.frame_id
             metrics["event"] = "relocalized"
             metrics["reloc_kf"] = cand
             self.trajectory.append(FrameRecord(

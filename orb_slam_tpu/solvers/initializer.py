@@ -223,8 +223,10 @@ def initialize(
     p = w / jnp.maximum(jnp.sum(w), 1.0)
     keys = jax.random.split(key, S)
     samples = jax.vmap(
-        lambda k: jax.random.choice(k, n, shape=(8,), replace=False, p=p)
-    )(keys)  # [S, 8]
+        lambda k: jax.random.choice(k, n, shape=(cfg.sample_size,),
+                                    replace=False, p=p)
+    )(keys)  # [S, sample_size] — 8-point sets (Initializer.cc:77-85); the
+    # DLT fits are least-squares, so sample_size > 8 is also valid
 
     xn1, T1 = _normalize(xy1, valid)
     xn2, T2 = _normalize(xy2, valid)

@@ -49,6 +49,91 @@ def test_fast_threshold_changes_extraction():
     assert n_two > 0
 
 
+def test_every_config_field_is_read():
+    """Every parsed config field must be consumed somewhere in the package
+    (VERDICT r2 item 4 found three parsed-but-never-read fields; this
+    catches the whole class).  A field counts as read when `.name` attribute
+    access appears in any non-config module."""
+    import dataclasses
+    import pathlib
+    import re
+
+    import orb_slam_tpu.config as C
+
+    pkg = pathlib.Path(C.__file__).parent
+    src = "".join(
+        p.read_text() for p in pkg.rglob("*.py")
+        if p.resolve() != pathlib.Path(C.__file__).resolve())
+    unread = []
+    for name in dir(C):
+        cls = getattr(C, name)
+        if dataclasses.is_dataclass(cls) and isinstance(cls, type):
+            for f in dataclasses.fields(cls):
+                if not re.search(r"\.%s\b" % re.escape(f.name), src):
+                    unread.append(f"{name}.{f.name}")
+    assert not unread, f"config fields parsed but never read: {unread}"
+
+
+def test_connected_weights_threshold_and_best_edge():
+    """Covisibility edge rule (src/KeyFrame.cc:378-421): weight >= 15 or,
+    when nothing passes, the single best edge."""
+    from orb_slam_tpu.mapping.mapstore import connected_weights
+
+    row = np.asarray([0, 3, 14, 15, 40])
+    out = connected_weights(row, 15)
+    assert out.tolist() == [0, 0, 0, 15, 40]
+    # nothing passes -> best edge survives alone
+    weak = np.asarray([0, 3, 14, 9, 2])
+    out = connected_weights(weak, 15)
+    assert out.tolist() == [0, 0, 14, 0, 0]
+    # all-zero row stays empty (no phantom best edge)
+    assert connected_weights(np.zeros(4, np.int64), 15).tolist() == [0] * 4
+    # matrix form = rowwise
+    W = np.stack([row, weak])
+    out = connected_weights(W, 15)
+    assert out[0].tolist() == [0, 0, 0, 15, 40]
+    assert out[1].tolist() == [0, 0, 14, 0, 0]
+
+
+def test_init_extraction_uses_features_mult():
+    """During NOT_INITIALIZED/INITIALIZING the extractor budget is
+    init_features_mult x the runtime budget (src/Tracking.cc:128)."""
+    from orb_slam_tpu.config import SystemConfig, CameraConfig, ExtractorConfig
+    from orb_slam_tpu.pipeline.tracker import Tracker, TrackState
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=500, fy=500, cx=160, cy=120,
+                            k1=0, k2=0, p1=0, p2=0, k3=0,
+                            width=320, height=240),
+        extractor=ExtractorConfig(n_features=200, max_keypoints=256,
+                                  n_levels=3, init_features_mult=2))
+    tr = Tracker.create(cfg)
+    img = np.random.default_rng(0).uniform(0, 255, (240, 320)).astype(np.float32)
+    assert tr.state == TrackState.NOT_INITIALIZED
+    feats = tr.extract(img)
+    assert feats.xy.shape[0] == 512          # 2x capacity during init
+    tr.state = TrackState.WORKING
+    feats = tr.extract(img)
+    assert feats.xy.shape[0] == 256          # runtime capacity otherwise
+
+
+def test_reloc_recent_window_raises_inlier_floor():
+    """Tracking.cc:272-275: 50 inliers required for reloc_recent_frames_mult
+    * fps frames after a relocalisation, 30 otherwise."""
+    from orb_slam_tpu.config import SystemConfig, CameraConfig
+    from orb_slam_tpu.pipeline.tracker import Tracker
+
+    cfg = SystemConfig(camera=CameraConfig(
+        fx=500, fy=500, cx=160, cy=120, k1=0, k2=0, p1=0, p2=0, k3=0,
+        width=320, height=240, fps=30.0))
+    tr = Tracker.create(cfg)
+    assert tr._inlier_floor(100) == cfg.tracker.min_localmap_inliers
+    tr.last_reloc_frame_id = 100
+    assert tr._inlier_floor(100) == cfg.tracker.min_localmap_inliers_reloc
+    assert tr._inlier_floor(159) == cfg.tracker.min_localmap_inliers_reloc
+    assert tr._inlier_floor(160) == cfg.tracker.min_localmap_inliers
+
+
 def _megastep_args():
     import __graft_entry__ as ge
     fn, args = ge.entry()
