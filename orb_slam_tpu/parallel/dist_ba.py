@@ -154,6 +154,31 @@ def partition_problem(
     )
 
 
+def _put_global(mesh: Mesh, spec, tree):
+    """Build global sharded arrays from full-size host copies.
+
+    In a multi-process (jax.distributed) run, jit cannot auto-shard host
+    numpy inputs — every process holds the SAME full problem (SLAM state is
+    deterministic per process), so each process donates the shard slices it
+    owns via make_array_from_callback."""
+    from jax.sharding import NamedSharding
+    s = NamedSharding(mesh, spec)
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
+
+    return jax.tree.map(put, tree)
+
+
+def _fetch_global(x) -> np.ndarray:
+    """Full host copy of a (possibly cross-process-sharded) array."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 @lru_cache(maxsize=64)
 def _sharded_ba_fn(mesh: Mesh, axis: str, n_iters: int, two_phase: bool,
                    cfg: SolverConfig, solver: str = "dense"):
@@ -345,15 +370,22 @@ def bundle_adjust_sharded(
     otherwise n_iters robust its.  Returns (Rs, ts, Xs [D, P_shard, 3],
     edge_inliers [D, O_shard])."""
     run = _sharded_ba_fn(mesh, axis, n_iters, two_phase, cfg, solver)
-    return run(Rs, ts, prob.Xs, prob.cam_idx, prob.pt_idx, prob.uv,
-               prob.inv_sigma2, prob.valid, fixed, cam)
+    args = (Rs, ts, prob.Xs, prob.cam_idx, prob.pt_idx, prob.uv,
+            prob.inv_sigma2, prob.valid, fixed, cam)
+    if jax.process_count() > 1:
+        rep = _put_global(mesh, P(), (Rs, ts, fixed, cam))
+        shd = _put_global(mesh, P(axis),
+                          (prob.Xs, prob.cam_idx, prob.pt_idx, prob.uv,
+                           prob.inv_sigma2, prob.valid))
+        args = (rep[0], rep[1], *shd, rep[2], rep[3])
+    return run(*args)
 
 
 def bundle_adjust_dist(
     Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
     cfg: SolverConfig = SolverConfig(), two_phase: bool = True,
     n_shards: int | None = None, mesh: Mesh | None = None,
-    solver: str = "auto", strategy: str = "index",
+    solver: str = "auto", strategy: str = "index", axis: str = "data",
 ):
     """Drop-in replacement for solvers.bundle_adjust.BAResult over a device
     mesh: landmark-sharded Schur + psum of reduced camera systems.  Used by
@@ -364,7 +396,9 @@ def bundle_adjust_dist(
     from ..solvers.bundle_adjust import BAResult
 
     if mesh is None:
-        mesh = make_mesh(n_shards)
+        mesh = make_mesh(n_shards, axis=axis)
+    else:
+        axis = mesh.axis_names[0]
     D = mesh.devices.size
     prob = partition_problem(np.asarray(Xs), edges, D, strategy=strategy)
     if solver == "auto":
@@ -372,16 +406,16 @@ def bundle_adjust_dist(
         grid_mb = prob.Xs.shape[1] * Rs.shape[0] * 18 * 4 / 1e6
         solver = "cg" if grid_mb > 256.0 else "dense"
     Rs1, ts1, Xsh, inl_sh = bundle_adjust_sharded(
-        mesh, Rs, ts, prob, fixed, cam, cfg,
+        mesh, Rs, ts, prob, fixed, cam, cfg, axis=axis,
         n_iters=cfg.global_ba_iters, two_phase=two_phase, solver=solver)
-    X_full = np.asarray(Xsh).reshape(-1, 3)[: prob.n_points]
+    X_full = _fetch_global(Xsh).reshape(-1, 3)[: prob.n_points]
     if prob.perm is not None:  # spatial strategy: back to allocation order
         X_full = X_full[prob.perm]
     # back-map per-shard edge inliers to the original edge order
     O = np.asarray(edges.cam_idx).shape[0]
     inl = np.zeros(O, bool)
     src = prob.src_idx.reshape(-1)
-    flat = np.asarray(inl_sh).reshape(-1)
+    flat = _fetch_global(inl_sh).reshape(-1)
     ok = src >= 0
     inl[src[ok]] = flat[ok]
     # final cost parity with the single-device path is not needed by callers

@@ -154,13 +154,20 @@ def optimize_essential_graph_sharded(
     identical math, edge work sharded, one psum of (H, b) per iteration."""
     run = _sharded_pg_fn(mesh, axis, n_iters)
     e = sharded_edges
-    return run(s, R, t, fixed, e.i, e.j, e.s_meas, e.R_meas, e.t_meas,
-               e.valid)
+    args = (s, R, t, fixed, e.i, e.j, e.s_meas, e.R_meas, e.t_meas, e.valid)
+    if jax.process_count() > 1:
+        from .dist_ba import _put_global
+        rep = _put_global(mesh, P(), (s, R, t, fixed))
+        shd = _put_global(mesh, P(axis),
+                          (e.i, e.j, e.s_meas, e.R_meas, e.t_meas, e.valid))
+        args = (*rep, *shd)
+    return run(*args)
 
 
 def optimize_essential_graph_dist(
     s, R, t, fixed, edges: Sim3Edges, n_iters: int = 20,
     n_shards: int | None = None, mesh: Mesh | None = None,
+    axis: str = "data",
 ):
     """Drop-in twin of pose_graph.optimize_essential_graph over a mesh.
 
@@ -177,9 +184,11 @@ def optimize_essential_graph_dist(
     if mesh is None:
         want = n_shards or len(jax.devices())
         want = max(1, min(want, E // min_edges_per_shard or 1))
-        mesh = make_mesh(want)
+        mesh = make_mesh(want, axis=axis)
+    else:
+        axis = mesh.axis_names[0]
     D = mesh.devices.size
     sharded = partition_edges(edges, s.shape[0], D)
     s1, R1, t1 = optimize_essential_graph_sharded(
-        mesh, s, R, t, fixed, sharded, n_iters=n_iters)
+        mesh, s, R, t, fixed, sharded, n_iters=n_iters, axis=axis)
     return s1, R1, t1, None

@@ -42,8 +42,8 @@ def maybe_init_distributed() -> bool:
     pid = int(os.environ.get("ORB_SLAM_TPU_PROC_ID", "0"))
     if n <= 1:
         return False
-    jax.distributed.initialize(coordinate_address=coord,
-                               num_processes=n, process_index=pid)
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=n, process_id=pid)
     return True
 
 
