@@ -167,6 +167,69 @@ PyObject* vote_keyframes(PyObject*, PyObject* args) {
     return out;
 }
 
+// covisibility_counts(obs [K, N] int32, kf_valid [K] uint8, n_points int)
+//   -> W bytearray int32[K*K]
+// Sparse shared-observation counting via a point->keyframe CSR walk:
+// O(total_obs + sum_p deg(p)^2), replacing the dense [K, P] incidence
+// product (KeyFrame::UpdateConnections counting, src/KeyFrame.cc:332-377,
+// done for ALL keyframes at once).  Diagonal is zeroed.
+PyObject* covisibility_counts(PyObject*, PyObject* args) {
+    PyObject *obs_o, *kfv_o;
+    long n_points;
+    if (!PyArg_ParseTuple(args, "OOl", &obs_o, &kfv_o, &n_points))
+        return nullptr;
+    BufferView obs, kfv;
+    if (!obs.acquire(obs_o, "obs", "i", 2)) return nullptr;
+    if (!kfv.acquire(kfv_o, "kf_valid", "B", 1)) return nullptr;
+    const Py_ssize_t K = obs.view.shape[0];
+    const Py_ssize_t N = obs.view.shape[1];
+    const int32_t* obs_p = static_cast<const int32_t*>(obs.view.buf);
+    const uint8_t* kfv_p = static_cast<const uint8_t*>(kfv.view.buf);
+
+    // CSR: per-point keyframe lists (duplicates within a row are the
+    // caller's invariant — remap_observations dedups)
+    std::vector<int32_t> deg(static_cast<size_t>(n_points) + 1, 0);
+    for (Py_ssize_t k = 0; k < K; ++k) {
+        if (!kfv_p[k]) continue;
+        const int32_t* row = obs_p + k * N;
+        for (Py_ssize_t n = 0; n < N; ++n) {
+            const int32_t pid = row[n];
+            if (pid >= 0 && pid < n_points) ++deg[pid];
+        }
+    }
+    std::vector<int64_t> off(static_cast<size_t>(n_points) + 1, 0);
+    for (long p = 0; p < n_points; ++p) off[p + 1] = off[p] + deg[p];
+    std::vector<int32_t> pkf(static_cast<size_t>(off[n_points]));
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (Py_ssize_t k = 0; k < K; ++k) {
+        if (!kfv_p[k]) continue;
+        const int32_t* row = obs_p + k * N;
+        for (Py_ssize_t n = 0; n < N; ++n) {
+            const int32_t pid = row[n];
+            if (pid >= 0 && pid < n_points)
+                pkf[cur[pid]++] = static_cast<int32_t>(k);
+        }
+    }
+
+    PyObject* out = PyByteArray_FromStringAndSize(nullptr, K * K * 4);
+    if (!out) return nullptr;
+    int32_t* W = reinterpret_cast<int32_t*>(PyByteArray_AS_STRING(out));
+    std::memset(W, 0, static_cast<size_t>(K) * K * 4);
+    for (long p = 0; p < n_points; ++p) {
+        const int64_t a = off[p], b = off[p + 1];
+        for (int64_t i = a; i < b; ++i) {
+            const int32_t ki = pkf[i];
+            int32_t* Wi = W + static_cast<int64_t>(ki) * K;
+            for (int64_t j = i + 1; j < b; ++j) {
+                const int32_t kj = pkf[j];
+                ++Wi[kj];
+                ++W[static_cast<int64_t>(kj) * K + ki];
+            }
+        }
+    }
+    return out;
+}
+
 PyMethodDef methods[] = {
     {"pack_ba_edges", pack_ba_edges, METH_VARARGS,
      "Pack SoA observations into BA edge arrays."},
@@ -174,6 +237,8 @@ PyMethodDef methods[] = {
      "Apply landmark-merge lut to obs in place; dedup per keyframe row."},
     {"vote_keyframes", vote_keyframes, METH_VARARGS,
      "Count seed-landmark observations per keyframe."},
+    {"covisibility_counts", covisibility_counts, METH_VARARGS,
+     "Sparse [K, K] shared-observation counts from SoA observations."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import SystemConfig
 from ..geometry import se3, sim3, camera as cam_mod
 from ..mapping import mapstore
+from .. import native
 from ..utils.timing import GLOBAL_TIMER as _timer
 from ..ops import match as m
 from ..place import vocabulary as voc_mod
@@ -90,23 +91,17 @@ class LoopCloser:
             self._mirrors.clear()
 
     def _covis_np(self, st) -> np.ndarray:
-        # cached per kf_obs generation (the [K,P]@[P,K] incidence product is
-        # ~2 GFLOP of BLAS — compute once per map mutation, not per query)
+        # cached per kf_obs generation; sparse point->keyframe counting in
+        # the C extension (native.covisibility_counts) — cost follows the
+        # observation count, not K x max_points, so loop detection stays
+        # flat as the map grows (round-1 [K,P] incidence BLAS removed)
         ent = (self._mirrors or {}).get("covis_W")
         if ent is not None and ent[0] is st.kf_obs:
             return ent[1]
         obs = self._m(st.kf_obs, "kf_obs")
         kf_valid = self._m(st.kf_valid, "kf_valid")
-        P = self.cfg.map.max_points
-        K, N = obs.shape
-        B = np.zeros((K, P), np.float32)
-        rows = np.repeat(np.arange(K), N)
-        flat = obs.reshape(-1)
-        sel = flat >= 0
-        B[rows[sel], flat[sel]] = 1.0
-        W = (B @ B.T).astype(np.int64)
-        W *= kf_valid[:, None] & kf_valid[None, :]
-        np.fill_diagonal(W, 0)
+        W = native.covisibility_counts(
+            obs, kf_valid, self.cfg.map.max_points).astype(np.int64)
         # edge rule: weight >= 15 or best-edge fallback (KeyFrame.cc:378-421)
         W = mapstore.connected_weights(
             W, self.cfg.loop.covisibility_weight_min)

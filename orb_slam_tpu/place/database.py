@@ -105,21 +105,23 @@ def detect_candidates(
     # covisibility-group accumulated score (KeyFrameDatabase.cc:138-176):
     # for each candidate, sum the scores of itself + its top-10 covisible
     # keyframes that are also candidates; the group's best member represents
-    # the group.
-    acc_scores = []
-    best_of_group = []
-    ok_set = ok
-    for c in cand:
-        w = covis_weights[c].copy()
-        top = np.argsort(-w)[:top_group]
-        group = [c] + [int(t) for t in top if w[t] > 0]
-        members = [g for g in group if ok_set[g]]
-        acc = float(scores[members].sum())
-        best = members[int(np.argmax(scores[members]))]
-        acc_scores.append(acc)
-        best_of_group.append(best)
-
-    acc_scores = np.asarray(acc_scores)
+    # the group.  One argpartition over the candidate rows — no Python loop,
+    # so detection cost stays flat as the keyframe count grows.
+    K = covis_weights.shape[0]
+    Wc = np.asarray(covis_weights)[cand]                  # [C, K]
+    tg = min(top_group, K - 1) if K > 1 else 0
+    if tg > 0:
+        top = np.argpartition(-Wc, kth=tg - 1, axis=1)[:, :tg]   # [C, tg]
+        wtop = np.take_along_axis(Wc, top, axis=1)
+        members = np.concatenate(
+            [cand[:, None], np.where(wtop > 0, top, -1)], axis=1)  # [C, 1+tg]
+    else:
+        members = cand[:, None]
+    ok_m = (members >= 0) & ok[np.clip(members, 0, None)]
+    sc = np.where(ok_m, scores[np.clip(members, 0, None)], 0.0)
+    acc_scores = sc.sum(axis=1)
+    # column 0 is the candidate itself (always ok), so zero-score ties
+    # resolve to it — matching the loop's "members start at c" order
+    best_of_group = members[np.arange(len(cand)), sc.argmax(axis=1)]
     cut = acc_ratio * acc_scores.max()
-    keep = np.unique([b for b, a in zip(best_of_group, acc_scores) if a >= cut])
-    return keep
+    return np.unique(best_of_group[acc_scores >= cut])

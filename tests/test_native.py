@@ -55,3 +55,36 @@ def test_vote_keyframes(rng):
     seed[[1, 2, 3, 5]] = True
     votes = native.vote_keyframes(obs, seed)
     assert votes.tolist() == [1, 2, 2]
+
+
+def test_covisibility_counts(rng):
+    """Sparse CSR counting == dense incidence product, native == fallback."""
+    K, N, P = 24, 48, 200
+    obs = np.full((K, N), -1, np.int32)
+    for k in range(K):
+        n_obs = rng.integers(5, N)
+        pts = rng.choice(P, size=n_obs, replace=False)
+        obs[k, :n_obs] = pts
+    kf_valid = np.ones(K, bool)
+    kf_valid[3] = False
+
+    # dense reference
+    B = np.zeros((K, P), np.float64)
+    rows = np.repeat(np.arange(K), N)
+    flat = obs.reshape(-1)
+    sel = flat >= 0
+    B[rows[sel], flat[sel]] = 1.0
+    W_ref = (B @ B.T).astype(np.int32)
+    W_ref *= kf_valid[:, None] & kf_valid[None, :]
+    np.fill_diagonal(W_ref, 0)
+
+    W = native.covisibility_counts(obs, kf_valid, P)
+    np.testing.assert_array_equal(W, W_ref)
+
+    saved = native._graphops
+    native._graphops = None
+    try:
+        W_py = native.covisibility_counts(obs, kf_valid, P)
+    finally:
+        native._graphops = saved
+    np.testing.assert_array_equal(W_py, W_ref)
