@@ -29,10 +29,16 @@ def save_map(path: str, smap: SlamMap) -> None:
 
 
 def load_map(path: str, cfg: MapConfig) -> SlamMap:
+    import dataclasses
     data = np.load(path, allow_pickle=False)
     state = MapState(**{
         k: jnp.asarray(data[f"state_{k}"]) for k in MapState._fields
     })
+    # the pool may have grown past the configured capacity before the save
+    # (mapstore.grow_keyframes); the arrays are the source of truth
+    saved_K = state.kf_valid.shape[0]
+    if saved_K != cfg.max_keyframes:
+        cfg = dataclasses.replace(cfg, max_keyframes=saved_K)
     return SlamMap(
         state=state,
         cfg=cfg,

@@ -71,6 +71,10 @@ class SlamMap:
     last_compaction_lut: Optional[np.ndarray] = None
     # old->new KEYFRAME-id LUT of the most recent keyframe compaction(s)
     last_kf_compaction_lut: Optional[np.ndarray] = None
+    # lifetime compaction counters (observability: endurance runs assert the
+    # pools actually wrapped)
+    kf_compactions: int = 0
+    pt_compactions: int = 0
 
     @staticmethod
     def create(cfg: MapConfig, n_slots: int) -> "SlamMap":
@@ -114,9 +118,11 @@ class SlamMap:
         if self.n_kf >= self.cfg.max_keyframes:
             self.compact_keyframes()
         if self.n_kf >= self.cfg.max_keyframes:
-            raise RuntimeError(
-                "keyframe pool exhausted (every slot still valid; raise "
-                "MapConfig.max_keyframes for sequences this dense)")
+            # every slot genuinely live: grow geometrically.  The reference
+            # map is an unbounded heap (std::set<KeyFrame*>, src/Map.cc);
+            # the TPU-native analog of "unbounded" is doubling the SoA pool —
+            # log2(K_final) compile buckets total, ids stable (no remap).
+            self.grow_keyframes()
         k = self.n_kf
         # one fused program (k traced -> no recompile per slot); this is on
         # the keyframe-insertion critical path of the tracking thread
@@ -129,6 +135,55 @@ class SlamMap:
         self.kf_timestamp[k] = timestamp
         self.n_kf += 1
         return k
+
+    def grow_keyframes(self, new_max: Optional[int] = None) -> int:
+        """Double the keyframe pool (ids are stable; only padding is added).
+
+        Growth is the fixed-shape answer to the reference's unbounded
+        std::set map (src/Map.cc): kf-shaped device programs recompile once
+        per doubling — a bounded number of compile buckets over any run —
+        while every keyframe id, observation row, and consumer LUT stays
+        valid.  Callers holding kf-sized side arrays (the place-recognition
+        database) re-pad lazily by comparing against cfg.max_keyframes.
+
+        Only safe at the insertion boundary (backpressure guarantees no
+        mapping worker is in flight there — async_mapper.submit asserts).
+        Returns the new capacity."""
+        K = self.cfg.max_keyframes
+        new_K = max(new_max or 2 * K, K + 1)
+        pad = new_K - K
+        st = self.state
+
+        def grow(arr, fill=0):
+            return jnp.concatenate([
+                arr, jnp.full((pad,) + arr.shape[1:], fill, arr.dtype)])
+
+        self.state = st._replace(
+            kf_valid=grow(st.kf_valid),
+            kf_R=jnp.concatenate([
+                st.kf_R, jnp.tile(jnp.eye(3, dtype=st.kf_R.dtype),
+                                  (pad, 1, 1))]),
+            kf_t=grow(st.kf_t),
+            kf_xy=grow(st.kf_xy),
+            kf_level=grow(st.kf_level),
+            kf_angle=grow(st.kf_angle),
+            kf_desc=grow(st.kf_desc),
+            kf_kp_valid=grow(st.kf_kp_valid),
+            kf_obs=grow(st.kf_obs, fill=-1),
+        )
+        self.parent = np.concatenate(
+            [self.parent, np.full(pad, -1, np.int64)])
+        self.kf_frame_id = np.concatenate(
+            [self.kf_frame_id, np.full(pad, -1, np.int64)])
+        self.kf_timestamp = np.concatenate(
+            [self.kf_timestamp, np.zeros(pad)])
+        if self.last_kf_compaction_lut is not None:
+            lut = self.last_kf_compaction_lut
+            # keep the pad row (old index K, value -1) at the END
+            self.last_kf_compaction_lut = np.concatenate(
+                [lut[:-1], np.full(pad + 1, -1, lut.dtype)])
+        self.cfg = dataclasses.replace(self.cfg, max_keyframes=new_K)
+        return new_K
 
     def compact_points(self) -> int:
         """Pack live landmarks to the front of the pool, remap observations,
@@ -143,6 +198,7 @@ class SlamMap:
         freed = self.n_mp - n_live
         if freed == 0:
             return 0
+        self.pt_compactions += 1
         P = self.cfg.max_points
         lut = np.full(P + 1, -1, np.int32)
         lut[live] = np.arange(n_live, dtype=np.int32)
@@ -194,6 +250,7 @@ class SlamMap:
         freed = self.n_kf - n_live
         if freed == 0:
             return 0
+        self.kf_compactions += 1
         lut = np.full(K + 1, -1, np.int32)
         lut[live] = np.arange(n_live, dtype=np.int32)
         if self.last_kf_compaction_lut is None:

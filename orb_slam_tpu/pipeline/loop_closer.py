@@ -34,6 +34,14 @@ from ..place import database as db_mod
 from ..solvers import sim3_solver, sim3_opt, pose_graph
 
 
+@jax.jit
+def _kf_row_blob(kf_desc, kf_kp_valid, kf):
+    """One keyframe's descriptors + validity as a single fetchable u32 blob
+    (a lone round trip per keyframe on latency-bound runtimes)."""
+    return jnp.concatenate([kf_desc[kf].reshape(-1),
+                            kf_kp_valid[kf].astype(jnp.uint32)])
+
+
 @dataclass
 class LoopCloser:
     cfg: SystemConfig
@@ -59,22 +67,16 @@ class LoopCloser:
         """Apply a keyframe-pool compaction LUT (old id -> new id, -1 =
         dropped) to every keyframe-indexed structure this stage owns."""
         if self.db is not None:
-            ids = np.asarray(self.db.ids)
-            w = np.asarray(self.db.w)
-            has = np.asarray(self.db.has_row)
-            K = has.shape[0]
+            ids, w, has = self.db.ids, self.db.w, self.db.has_row
             new_ids = np.full_like(ids, 2**30)
             new_w = np.zeros_like(w)
             new_has = np.zeros_like(has)
-            for old_k in np.where(has)[0]:
-                nk = lut[old_k]
-                if nk >= 0:
-                    new_ids[nk] = ids[old_k]
-                    new_w[nk] = w[old_k]
-                    new_has[nk] = True
-            self.db = type(self.db)(ids=jnp.asarray(new_ids),
-                                    w=jnp.asarray(new_w),
-                                    has_row=jnp.asarray(new_has))
+            old = np.where(has & (lut[: len(has)] >= 0))[0]
+            nk = lut[old]
+            new_ids[nk] = ids[old]
+            new_w[nk] = w[old]
+            new_has[nk] = True
+            self.db = type(self.db)(ids=new_ids, w=new_w, has_row=new_has)
         self.kf_bow = {int(lut[k]): v for k, v in self.kf_bow.items()
                        if lut[k] >= 0}
         self.consistent_groups = [
@@ -117,7 +119,9 @@ class LoopCloser:
         fallback for synthetic worlds)."""
         if self.voc is None:
             if self.cfg.loop.vocab_path:
-                self.voc = voc_mod.load_orbvoc_text(self.cfg.loop.vocab_path)
+                p = self.cfg.loop.vocab_path
+                self.voc = (voc_mod.load_npz(p) if p.endswith(".npz")
+                            else voc_mod.load_orbvoc_text(p))
             elif self.cfg.loop.vocab_use_prebuilt and \
                     voc_mod.prebuilt() is not None:
                 self.voc = voc_mod.prebuilt()
@@ -128,9 +132,26 @@ class LoopCloser:
             self.db = db_mod.BowDatabase.create(
                 self.cfg.map.max_keyframes, self.cfg.extractor.max_keypoints)
 
+    def ensure_capacity(self, max_kf: int):
+        """Re-pad the place-recognition rows after keyframe-pool growth
+        (mapstore.grow_keyframes: ids stable, capacity doubled)."""
+        if self.db is not None and len(self.db.has_row) < max_kf:
+            self.db = self.db.grown(max_kf)
+
     def add_keyframe(self, smap: mapstore.SlamMap, kf: int):
+        """BoW transform on the HOST: one packed device fetch for the
+        keyframe's descriptor row, then the tree descent/scoring in numpy —
+        the per-keyframe cost is a single round trip instead of a device
+        program chain (see place/database.py module docstring)."""
+        self.ensure_capacity(smap.cfg.max_keyframes)
         st = smap.state
-        bow = voc_mod.transform(self.voc, st.kf_desc[kf], st.kf_kp_valid[kf])
+        with _timer.stage("loopclosing", "bowTransform"):
+            blob = np.asarray(_kf_row_blob(
+                st.kf_desc, st.kf_kp_valid, jnp.int32(kf)))
+            N = st.kf_desc.shape[1]
+            desc = blob[: N * 8].reshape(N, 8)
+            valid = blob[N * 8:].astype(bool)
+            bow = voc_mod.transform_np(self.voc, desc, valid)
         self.kf_bow[kf] = bow
         self.db = self.db.add(kf, bow)
 
@@ -176,12 +197,12 @@ class LoopCloser:
         min_score = 1.0
         for nb in neighbors:
             if int(nb) in self.kf_bow:
-                sc = float(voc_mod.score_l1(bow, self.kf_bow[int(nb)]))
+                sc = voc_mod.score_l1_np(bow, self.kf_bow[int(nb)])
                 min_score = min(min_score, sc)
         if not len(neighbors):
             min_score = 0.05
 
-        exclude = np.zeros(self.cfg.map.max_keyframes, bool)
+        exclude = np.zeros(len(self.db.has_row), bool)
         exclude[kf] = True
         exclude[neighbors] = True
         covis = self._covis_np(st).astype(np.float64)

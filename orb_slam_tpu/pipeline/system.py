@@ -61,6 +61,10 @@ class System:
         rows = self.tracker.keyframe_trajectory()
         traj_mod.save_tum(path, rows)
 
+    def shutdown(self):
+        """Flush mapping and join worker threads (System::Shutdown)."""
+        self.tracker.shutdown()
+
     def evaluate_ate(self, gt: np.ndarray) -> Optional[float]:
         """gt: [N, 8] TUM rows.  Associates keyframes by timestamp."""
         rows = self.tracker.keyframe_trajectory()
@@ -102,6 +106,7 @@ def main(argv=None):
         if args.max_frames and n >= args.max_frames:
             break
     wall = time.perf_counter() - t_start
+    system.shutdown()
 
     out_traj = os.path.join(args.out_dir, "KeyFrameTrajectory.txt")
     system.save_trajectory(out_traj)

@@ -280,6 +280,16 @@ class Tracker:
             if res is not None:
                 self._commit_mapping(res, {})
 
+    def shutdown(self):
+        """finish() + join the mapping worker (System::Shutdown analog,
+        src/System.cc — the reference joins LocalMapping/LoopClosing before
+        trajectory export; without the join the daemon thread can abort
+        inside the JAX runtime at interpreter teardown)."""
+        self.finish()
+        if self.async_mapper is not None:
+            self.async_mapper.shutdown()
+            self.async_mapper = None
+
     def extract(self, image) -> FrameFeatures:
         """Default extraction path: level-batched, Pallas-fused on TPU.
 
@@ -1108,13 +1118,15 @@ class Tracker:
         if lc is None or lc.voc is None or self.slam_map.n_kf == 0:
             return
         st = self.slam_map.state
-        bow = voc_mod.transform(lc.voc, fd.feats.desc, fd.feats.valid)
+        bow = voc_mod.transform_np(
+            lc.voc, np.asarray(fd.feats.desc), np.asarray(fd.feats.valid))
         P = self.cfg.map.max_points
         covis = mapstore.connected_weights(
             np.asarray(mapstore.covisibility_matrix(st, P)),
             self.cfg.loop.covisibility_weight_min).astype(np.float64)
+        lc.ensure_capacity(self.slam_map.cfg.max_keyframes)
         cands = db_mod.detect_candidates(
-            lc.db, bow, np.zeros(self.cfg.map.max_keyframes, bool), covis,
+            lc.db, bow, np.zeros(len(lc.db.has_row), bool), covis,
             min_score=None)
         metrics["reloc_candidates"] = len(cands)
 
@@ -1316,8 +1328,9 @@ class Tracker:
 
         # keyframe-pool compaction at the insertion boundary: pack the holes
         # culling left and remap every keyframe-indexed consumer BEFORE the
-        # old ref_kf id is used as the new keyframe's parent
-        if smap.n_kf >= self.cfg.map.max_keyframes:
+        # old ref_kf id is used as the new keyframe's parent.  (smap.cfg, not
+        # self.cfg.map: the pool may have grown past the configured size)
+        if smap.n_kf >= smap.cfg.max_keyframes:
             smap.last_kf_compaction_lut = None
             freed = smap.compact_keyframes()
             if freed > 0:

@@ -3,10 +3,16 @@
 TPU-native replacement of KeyFrameDatabase (src/KeyFrameDatabase.cc).  The
 reference walks a word->keyframe inverted file; here the database stores one
 SparseBow row per keyframe ([max_kf, W] sorted word ids + weights, W =
-max keypoints per frame) and a query is a vmapped sorted-merge
-(`searchsorted`) against every row — O(max_kf * W log W) independent of the
+max keypoints per frame) and a query is one offset-flattened `searchsorted`
+against every row — O(max_kf * W log(max_kf * W)) independent of the
 vocabulary size, so the same code serves a 512-word test vocab and a
-10^6-word ORBvoc.  Selection semantics preserved:
+10^6-word ORBvoc.
+
+The database lives on the HOST: queries are keyframe-rate sparse
+bookkeeping over ~640-wide rows (microseconds in numpy), while a device
+round trip on the tunneled TPU costs a fixed dispatch latency — place
+recognition is exactly the kind of tiny irregular work the layer map keeps
+off the accelerator (SURVEY.md L1/L2 split).  Selection semantics preserved:
 
   DetectLoopCandidates (KeyFrameDatabase.cc:75-196):
     1. count shared words with every keyframe, excluding the query's
@@ -24,49 +30,63 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from .vocabulary import SparseBow, score_l1_many
+from .vocabulary import SparseBow, score_l1_many_np
 
 
 class BowDatabase(NamedTuple):
-    ids: jnp.ndarray       # [max_kf, W] int32 sorted word ids (pad = large)
-    w: jnp.ndarray         # [max_kf, W] float32 L1-normalized weights
-    has_row: jnp.ndarray   # [max_kf] bool
+    ids: np.ndarray       # [max_kf, W] int32 sorted word ids (pad = large)
+    w: np.ndarray         # [max_kf, W] float32 L1-normalized weights
+    has_row: np.ndarray   # [max_kf] bool
 
     @staticmethod
     def create(max_kf: int, width: int) -> "BowDatabase":
         return BowDatabase(
-            ids=jnp.full((max_kf, width), jnp.int32(2**30), jnp.int32),
-            w=jnp.zeros((max_kf, width), jnp.float32),
-            has_row=jnp.zeros(max_kf, bool),
+            ids=np.full((max_kf, width), np.int32(2**30), np.int32),
+            w=np.zeros((max_kf, width), np.float32),
+            has_row=np.zeros(max_kf, bool),
         )
 
     def add(self, kf_id: int, bow: SparseBow) -> "BowDatabase":
-        return BowDatabase(
-            ids=self.ids.at[kf_id].set(bow.ids),
-            w=self.w.at[kf_id].set(bow.weights),
-            has_row=self.has_row.at[kf_id].set(True),
-        )
+        ids = self.ids.copy()
+        w = self.w.copy()
+        has = self.has_row.copy()
+        ids[kf_id] = np.asarray(bow.ids)
+        w[kf_id] = np.asarray(bow.weights)
+        has[kf_id] = True
+        return BowDatabase(ids=ids, w=w, has_row=has)
 
     def remove(self, kf_id: int) -> "BowDatabase":
+        ids = self.ids.copy()
+        w = self.w.copy()
+        has = self.has_row.copy()
+        ids[kf_id] = np.int32(2**30)
+        w[kf_id] = 0.0
+        has[kf_id] = False
+        return BowDatabase(ids=ids, w=w, has_row=has)
+
+    def grown(self, max_kf: int) -> "BowDatabase":
+        """Re-pad to a larger keyframe capacity (pool growth; ids stable)."""
+        pad = max_kf - self.ids.shape[0]
+        if pad <= 0:
+            return self
+        W = self.ids.shape[1]
         return BowDatabase(
-            ids=self.ids.at[kf_id].set(jnp.int32(2**30)),
-            w=self.w.at[kf_id].set(0.0),
-            has_row=self.has_row.at[kf_id].set(False),
+            ids=np.concatenate(
+                [self.ids, np.full((pad, W), np.int32(2**30), np.int32)]),
+            w=np.concatenate([self.w, np.zeros((pad, W), np.float32)]),
+            has_row=np.concatenate([self.has_row, np.zeros(pad, bool)]),
         )
 
     def row(self, kf_id: int) -> SparseBow:
         return SparseBow(ids=self.ids[kf_id], weights=self.w[kf_id])
 
 
-@jax.jit
 def query_scores(db: BowDatabase, bow: SparseBow):
     """Returns (shared_word_counts [K], l1_scores [K]) vs every keyframe."""
-    scores, shared = score_l1_many(bow, db.ids, db.w)
+    scores, shared = score_l1_many_np(bow, db.ids, db.w)
     return (shared * db.has_row,
-            jnp.where(db.has_row, scores, -1.0))
+            np.where(db.has_row, scores, -1.0))
 
 
 def detect_candidates(
@@ -87,8 +107,6 @@ def detect_candidates(
     Returns candidate keyframe ids (host array).
     """
     shared, scores = query_scores(db, bow)
-    shared = np.asarray(shared)
-    scores = np.asarray(scores)
     shared = np.where(exclude, 0, shared)
 
     max_common = shared.max()

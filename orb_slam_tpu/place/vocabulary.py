@@ -35,7 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+_POP8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint8)
 
 # pad word id for empty SparseBow slots: larger than any real word id and
 # identical across vocabularies, so shared-word counting can mask pads by id
@@ -68,9 +69,10 @@ class SparseBow(NamedTuple):
 
 def _popcount_rows(x: np.ndarray) -> np.ndarray:
     """Hamming weight over the last (packed-u32) axis via a byte LUT —
-    no 8x unpackbits blow-up, so k-medians scales to 10^5+ descriptors."""
+    no 8x unpackbits blow-up, so k-medians scales to 10^6+ descriptors
+    (uint8 LUT output keeps the temporary at 1 byte/element)."""
     b = np.ascontiguousarray(x).view(np.uint8)
-    return _POP8[b].reshape(*x.shape[:-1], -1).sum(-1)
+    return _POP8[b].reshape(*x.shape[:-1], -1).sum(-1, dtype=np.int32)
 
 
 def _majority_center(desc: np.ndarray) -> np.ndarray:
@@ -80,17 +82,24 @@ def _majority_center(desc: np.ndarray) -> np.ndarray:
     return np.packbits(maj).view(np.uint32)
 
 
-def _kmedians(desc: np.ndarray, k: int, rng, iters: int = 8) -> np.ndarray:
-    """Binary k-medians: Hamming assignment + majority-vote centers."""
+def _kmedians(desc: np.ndarray, k: int, rng, iters: int = 8,
+              fit_cap: int = 60_000) -> np.ndarray:
+    """Binary k-medians: Hamming assignment + majority-vote centers.
+
+    Lloyd iterations run on at most `fit_cap` sampled rows (centers
+    converge on a sample; the caller re-assigns the full set once) so the
+    root split of a 10^6-descriptor corpus stays minutes, not hours."""
     n = len(desc)
-    centers = desc[rng.choice(n, size=min(k, n), replace=False)].copy()
+    fit = desc if n <= fit_cap else desc[rng.choice(n, fit_cap, replace=False)]
+    centers = fit[rng.choice(len(fit), size=min(k, len(fit)),
+                             replace=False)].copy()
     for _ in range(iters):
-        d = _popcount_rows(desc[:, None, :] ^ centers[None, :, :])
+        d = _popcount_rows(fit[:, None, :] ^ centers[None, :, :])
         assign = d.argmin(1)
         for c in range(len(centers)):
             sel = assign == c
             if sel.sum() > 0:
-                centers[c] = _majority_center(desc[sel])
+                centers[c] = _majority_center(fit[sel])
     return centers
 
 
@@ -110,10 +119,11 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 4,
     n_nodes = 1  # root = 0
 
     # BFS split
-    queue = [(0, descriptors, 0)]
+    from collections import deque
+    queue = deque([(0, descriptors, 0)])
     leaves = []
     while queue:
-        node, data, level = queue.pop(0)
+        node, data, level = queue.popleft()
         if level == depth or len(data) <= 1:
             leaves.append(node)
             continue
@@ -142,9 +152,10 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 4,
         doc_ids = np.asarray(doc_ids)
         n_docs = int(doc_ids.max()) + 1
         seen = np.zeros((n_words,), np.int64)
-        for d in range(n_docs):
-            ws = np.unique(words[doc_ids == d])
-            seen[ws[ws >= 0]] += 1
+        m = words >= 0
+        pairs = np.unique(
+            doc_ids[m].astype(np.int64) * n_words + words[m])
+        np.add.at(seen, (pairs % n_words).astype(np.int64), 1)
         weights = np.where(
             seen > 0, np.log(n_docs / np.maximum(seen, 1)), 0.0
         ).astype(np.float32)
@@ -163,18 +174,24 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 4,
     )
 
 
-def _descend_np(children, node_desc, word_id, depth, desc: np.ndarray):
-    """Host-side batched tree descent (training/IO paths)."""
-    node = np.zeros(len(desc), np.int32)
-    for _ in range(depth):
-        ch = children[node]                               # [N, k]
-        cd = node_desc[np.clip(ch, 0, None)]              # [N, k, 8]
-        dist = _popcount_rows(desc[:, None, :] ^ cd)
-        dist = np.where(ch >= 0, dist, 1 << 20)
-        best = dist.argmin(1)
-        nxt = ch[np.arange(len(desc)), best]
-        node = np.where(nxt >= 0, nxt, node)
-    return word_id[node]
+def _descend_np(children, node_desc, word_id, depth, desc: np.ndarray,
+                chunk: int = 200_000):
+    """Host-side batched tree descent (training/IO paths), chunked so the
+    [N, k, 32]-byte temporaries stay bounded for 10^6-row corpora."""
+    out = np.empty(len(desc), np.int32)
+    for lo in range(0, len(desc), chunk):
+        d = desc[lo:lo + chunk]
+        node = np.zeros(len(d), np.int32)
+        for _ in range(depth):
+            ch = children[node]                               # [N, k]
+            cd = node_desc[np.clip(ch, 0, None)]              # [N, k, 8]
+            dist = _popcount_rows(d[:, None, :] ^ cd)
+            dist = np.where(ch >= 0, dist, 1 << 20)
+            best = dist.argmin(1)
+            nxt = ch[np.arange(len(d)), best]
+            node = np.where(nxt >= 0, nxt, node)
+        out[lo:lo + chunk] = word_id[node]
+    return out
 
 
 def transform_words(voc: Vocabulary, desc: jnp.ndarray) -> jnp.ndarray:
@@ -256,6 +273,95 @@ def score_l1_many(a: SparseBow, ids: jnp.ndarray, w: jnp.ndarray):
         sc = jnp.sum(0.5 * (aw + bwm - jnp.abs(aw - bwm)))
         return sc, jnp.sum(shared)
     return jax.vmap(one)(ids, w)
+
+
+# ----------------------------------------------------------------------
+# Host (numpy) twins of transform/score.  Place recognition is keyframe-rate
+# sparse bookkeeping on 640-wide rows: on a dispatch-latency-bound runtime
+# (the tunneled TPU) every extra device program costs a fixed round trip, so
+# the loop-closing/reloc stages run these on the host and reserve the device
+# for dense matching and geometry.  Semantics identical to the jnp versions.
+# ----------------------------------------------------------------------
+
+_np_voc_cache: dict = {}
+
+
+def to_numpy(voc: Vocabulary) -> Vocabulary:
+    """Host copy of the vocabulary arrays (cached by tree identity)."""
+    key = id(voc.children)
+    ent = _np_voc_cache.get(key)
+    if ent is None or ent[0] is not voc.children:
+        _np_voc_cache.clear()   # one live vocabulary per process in practice
+        ent = (voc.children, Vocabulary(
+            children=np.asarray(voc.children),
+            node_desc=np.asarray(voc.node_desc),
+            word_id=np.asarray(voc.word_id),
+            weights=np.asarray(voc.weights),
+            k=voc.k, depth=voc.depth, n_words=voc.n_words))
+        _np_voc_cache[key] = ent
+    return ent[1]
+
+
+def transform_np(voc: Vocabulary, desc: np.ndarray, valid: np.ndarray
+                 ) -> SparseBow:
+    """Host transform: descriptors [N, 8] -> SparseBow of numpy arrays.
+    Same contract as transform(): sorted ids (pad PAD_ID), L1-normalized
+    count * idf weights."""
+    v = to_numpy(voc)
+    desc = np.asarray(desc)
+    valid = np.asarray(valid)
+    words = _descend_np(v.children, v.node_desc, v.word_id, v.depth, desc)
+    pad = np.int32(v.n_words)
+    words = np.where(valid & (words >= 0), words, pad)
+
+    counts = np.zeros(v.n_words + 1, np.float32)
+    np.add.at(counts, words, 1.0)
+    sw = np.sort(words)
+    first = np.concatenate([[True], sw[1:] != sw[:-1]]) & (sw < pad)
+    ids = np.where(first, sw, pad)
+    w = np.where(first, counts[ids] * v.weights[ids], 0.0).astype(np.float32)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    w = w[order]
+    s = w.sum()
+    ids = np.where(ids == pad, np.int32(PAD_ID), ids).astype(np.int32)
+    return SparseBow(ids=ids, weights=w / max(s, 1e-9))
+
+
+def _merge_np(ai, aw, bi, bw):
+    W = bi.shape[0]
+    idx = np.clip(np.searchsorted(bi, ai), 0, W - 1)
+    shared = (bi[idx] == ai) & (ai < PAD_ID)
+    hit = shared & (aw > 0)
+    bwm = np.where(hit, bw[idx], 0.0)
+    awm = np.where(bwm > 0, aw, 0.0)
+    return awm, bwm, shared
+
+
+def score_l1_np(a: SparseBow, b: SparseBow) -> float:
+    aw, bw, _ = _merge_np(np.asarray(a.ids), np.asarray(a.weights),
+                          np.asarray(b.ids), np.asarray(b.weights))
+    return float(np.sum(0.5 * (aw + bw - np.abs(aw - bw))))
+
+
+def score_l1_many_np(a: SparseBow, ids: np.ndarray, w: np.ndarray):
+    """Host scores of `a` vs stacked rows ids/w [K, W] in one pass: rows are
+    individually sorted, so a per-row int64 offset makes the flattened id
+    array globally sorted and ONE searchsorted serves every row.  Returns
+    (scores [K], shared word counts [K])."""
+    K, W = ids.shape
+    ai = np.asarray(a.ids).astype(np.int64)
+    aw = np.asarray(a.weights)
+    off = (np.arange(K, dtype=np.int64) * (1 << 32))[:, None]
+    flat = (ids.astype(np.int64) + off).reshape(-1)
+    q = (ai[None, :] + off).reshape(-1)
+    idx = np.clip(np.searchsorted(flat, q), 0, K * W - 1)
+    shared = (flat[idx] == q).reshape(K, W) & (ai[None, :] < PAD_ID)
+    hit = shared & (aw[None, :] > 0)
+    bwm = np.where(hit, w.reshape(-1)[idx].reshape(K, W), 0.0)
+    awm = np.where(bwm > 0, aw[None, :], 0.0)
+    scores = np.sum(0.5 * (awm + bwm - np.abs(awm - bwm)), axis=1)
+    return scores, shared.sum(axis=1)
 
 
 def densify(voc: Vocabulary, bow: SparseBow) -> jnp.ndarray:

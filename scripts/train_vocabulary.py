@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--images", type=int, default=80)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--augment", type=int, default=0,
+                    help="extra jittered copies of each real descriptor "
+                         "(random bit flips; each copy is its own document "
+                         "viewing the same scene) — lets a 10^5-word tree "
+                         "train from a renderable number of images")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "orb_slam_tpu", "data",
         "vocab10k.npz"))
@@ -62,10 +67,33 @@ def main():
         if (i + 1) % 10 == 0:
             print(f"  extracted {i + 1}/{args.images} images "
                   f"({sum(len(x) for x in descs)} descriptors, "
-                  f"{time.time() - t0:.0f}s)")
+                  f"{time.time() - t0:.0f}s)", flush=True)
 
     corpus = np.concatenate(descs)
     doc = np.concatenate(doc_ids)
+
+    if args.augment > 0:
+        # each augmented pass = the same scenes re-observed with descriptor
+        # noise (2-5 flipped bits, the front end's typical re-detection
+        # jitter); new document ids so idf sees independent observations
+        outs, outs_doc = [corpus], [doc]
+        n_docs = args.images
+        for a in range(args.augment):
+            c = corpus.copy()
+            flips = rng.integers(2, 6, size=len(c))
+            bits = rng.integers(0, 256, size=(len(c), 5))
+            for b in range(5):
+                m = flips > b
+                word = bits[m, b] // 32
+                bit = bits[m, b] % 32
+                rows = np.where(m)[0]
+                c[rows, word] ^= (np.uint32(1) << bit.astype(np.uint32))
+            outs.append(c)
+            outs_doc.append(doc + (a + 1) * n_docs)
+        corpus = np.concatenate(outs)
+        doc = np.concatenate(outs_doc)
+        print(f"augmented corpus: {len(corpus)} descriptors, "
+              f"{int(doc.max()) + 1} documents", flush=True)
     print(f"training k={args.k} depth={args.depth} on {len(corpus)} "
           f"descriptors from {args.images} images ...")
     t0 = time.time()

@@ -164,3 +164,56 @@ def test_keyframe_pool_full_compacts_on_insert():
     k = add_kf()  # would raise without compaction
     assert k == 3
     assert smap.n_kf == 4
+
+
+def test_keyframe_pool_grows_when_all_live():
+    """A full pool with NO holes doubles instead of raising: ids stay
+    stable, old rows are intact, new insertions land past the old capacity
+    (the TPU-native analog of the reference's unbounded std::set map,
+    src/Map.cc — bounded compile buckets via geometric growth)."""
+    cfg = MapConfig(max_keyframes=4, max_points=16)
+    n = 4
+    smap = mapstore.SlamMap.create(cfg, n_slots=n)
+    rng = np.random.default_rng(1)
+
+    def add_kf():
+        return smap.add_keyframe(
+            jnp.eye(3), jnp.zeros(3),
+            jnp.asarray(rng.uniform(0, 100, (n, 2)).astype(np.float32)),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n),
+            jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32)),
+            jnp.ones(n, bool), jnp.full(n, -1, jnp.int32),
+            frame_id=smap.n_kf, timestamp=float(smap.n_kf), parent=-1)
+
+    for _ in range(4):
+        add_kf()
+    desc_before = np.asarray(smap.state.kf_desc[:4]).copy()
+    k = add_kf()  # all 4 slots live -> must grow, not raise
+    assert k == 4
+    assert smap.cfg.max_keyframes == 8
+    assert smap.state.kf_valid.shape[0] == 8
+    assert smap.parent.shape[0] == 8
+    assert smap.kf_frame_id[4] == 4
+    np.testing.assert_array_equal(
+        np.asarray(smap.state.kf_desc[:4]), desc_before)
+    assert not bool(np.asarray(smap.state.kf_valid[5:]).any())
+    # growth composes with compaction: free a slot, fill up again
+    st = smap.state
+    smap.state = st._replace(kf_valid=st.kf_valid.at[0].set(False))
+    for _ in range(3):
+        add_kf()
+    assert smap.n_kf == 8 and smap.cfg.max_keyframes == 8
+    add_kf()  # hole at 0 -> compacts back to 7 live, inserts at 7
+    assert smap.n_kf == 8 and smap.cfg.max_keyframes == 8
+
+
+def test_database_grows_with_pool():
+    from orb_slam_tpu.place.database import BowDatabase
+    from orb_slam_tpu.place.vocabulary import SparseBow, PAD_ID
+    db = BowDatabase.create(4, 8)
+    bow = SparseBow(ids=np.full(8, PAD_ID, np.int32),
+                    weights=np.zeros(8, np.float32))
+    db = db.add(2, bow)
+    g = db.grown(8)
+    assert g.ids.shape == (8, 8) and g.has_row[2] and not g.has_row[4:].any()
+    assert g.grown(8) is g

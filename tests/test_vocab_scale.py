@@ -120,3 +120,73 @@ def test_npz_roundtrip(tmp_path, big_voc):
     np.testing.assert_array_equal(np.asarray(b1.ids), np.asarray(b2.ids))
     np.testing.assert_allclose(np.asarray(b1.weights),
                                np.asarray(b2.weights), atol=1e-6)
+
+
+def test_transform_np_matches_device(big_voc):
+    """The host (numpy) twin of transform/score must match the jnp path
+    bit-for-bit — the loop closer runs the host twin at keyframe rate
+    (place/database.py module docstring)."""
+    rng = np.random.default_rng(6)
+    d = rand_desc(rng, 300)
+    valid = rng.random(300) > 0.1
+    b_dev = voc_mod.transform(big_voc, jnp.asarray(d), jnp.asarray(valid))
+    b_np = voc_mod.transform_np(big_voc, d, valid)
+    np.testing.assert_array_equal(np.asarray(b_dev.ids), b_np.ids)
+    np.testing.assert_allclose(np.asarray(b_dev.weights), b_np.weights,
+                               atol=1e-6)
+    d2 = rand_desc(rng, 300)
+    b2_dev = voc_mod.transform(big_voc, jnp.asarray(d2), jnp.ones(300, bool))
+    b2_np = voc_mod.transform_np(big_voc, d2, np.ones(300, bool))
+    s_dev = float(voc_mod.score_l1(b_dev, b2_dev))
+    s_np = voc_mod.score_l1_np(b_np, b2_np)
+    np.testing.assert_allclose(s_dev, s_np, atol=1e-6)
+
+
+def test_score_l1_many_np_matches_device(big_voc):
+    rng = np.random.default_rng(7)
+    K, N = 8, 200
+    rows_i = np.full((K, N), voc_mod.PAD_ID, np.int32)
+    rows_w = np.zeros((K, N), np.float32)
+    for k in range(K):
+        b = voc_mod.transform_np(big_voc, rand_desc(rng, N),
+                                 np.ones(N, bool))
+        rows_i[k], rows_w[k] = b.ids, b.weights
+    q = voc_mod.transform_np(big_voc, rand_desc(rng, N), np.ones(N, bool))
+    s_dev, sh_dev = voc_mod.score_l1_many(
+        voc_mod.SparseBow(jnp.asarray(q.ids), jnp.asarray(q.weights)),
+        jnp.asarray(rows_i), jnp.asarray(rows_w))
+    s_np, sh_np = voc_mod.score_l1_many_np(q, rows_i, rows_w)
+    np.testing.assert_allclose(np.asarray(s_dev), s_np, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sh_dev), sh_np)
+
+
+def test_shipped_100k_vocab_ranking():
+    """VERDICT r2 item 4: place recognition at 10^5 words.  Loads the
+    shipped vocab100k.npz (k=10, L=5, trained on rendered+jittered ORB
+    descriptors, scripts/train_vocabulary.py --augment) and checks the
+    same-scene-vs-revisit ranking margin plus the host transform cost."""
+    import os
+    import time
+    p = os.path.join(os.path.dirname(__file__), "..", "orb_slam_tpu",
+                     "data", "vocab100k.npz")
+    if not os.path.exists(p):
+        pytest.skip("vocab100k.npz not built")
+    voc = voc_mod.load_npz(p)
+    assert voc.n_words >= 90_000, voc.n_words
+
+    rng = np.random.default_rng(8)
+    scenes = [rand_desc(rng, 500) for _ in range(6)]
+    bows = [voc_mod.transform_np(voc, s, np.ones(500, bool))
+            for s in scenes]
+    bq = voc_mod.transform_np(voc, flip(rng, scenes[2], 6),
+                              np.ones(500, bool))
+    scores = [voc_mod.score_l1_np(bq, b) for b in bows]
+    assert int(np.argmax(scores)) == 2
+    assert scores[2] > 3 * max(s for i, s in enumerate(scores) if i != 2)
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        voc_mod.transform_np(voc, scenes[0], np.ones(500, bool))
+    per_frame_ms = (time.perf_counter() - t0) / 5 * 1e3
+    # keyframe-rate budget: L=5 descent over 500 descriptors on the host
+    assert per_frame_ms < 250, per_frame_ms
