@@ -48,4 +48,10 @@ def load_map(path: str, cfg: MapConfig) -> SlamMap:
         loop_edges=[tuple(e) for e in data["loop_edges"]],
         kf_frame_id=data["kf_frame_id"],
         kf_timestamp=data["kf_timestamp"],
+        obs_np=np.array(data["state_kf_obs"], np.int32, copy=True),
+        kf_valid_np=np.array(data["state_kf_valid"], bool, copy=True),
+        mp_valid_np=np.array(data["state_mp_valid"], bool, copy=True),
+        host={name: np.array(data[f"state_{name}"], copy=True)
+              for name in ("kf_R", "kf_t", "kf_xy", "kf_level", "kf_desc",
+                           "kf_kp_valid", "mp_pos")},
     )

@@ -75,6 +75,25 @@ class SlamMap:
     # pools actually wrapped)
     kf_compactions: int = 0
     pt_compactions: int = 0
+    # authoritative HOST mirrors of state.kf_obs / kf_valid / mp_valid:
+    # every mutation of these arrays is known host-side (insertion rows,
+    # fuse/cull working copies, BA outlier erasures, compaction packing),
+    # so the keyframe-rate graph logic (covisibility, culling, BA windows,
+    # place recognition) reads the mirrors instead of re-fetching device
+    # arrays after each mutation — on a latency-bound runtime those fetches
+    # dominated the per-keyframe wall clock
+    obs_np: Optional[np.ndarray] = None
+    kf_valid_np: Optional[np.ndarray] = None
+    mp_valid_np: Optional[np.ndarray] = None
+    # host mirrors of the larger keyframe tables + landmark positions,
+    # maintained incrementally: insertion updates one row from a single
+    # packed fetch (_kf_row_fetch_jit); BA write-back patches the touched
+    # window from the solver's packed host_blob; loop-rate whole-map writes
+    # call refresh_host().  Without these, every keyframe insertion changed
+    # the identity of each kf_* array and the old identity-keyed mirrors
+    # re-fetched multi-MB tables per keyframe.
+    host: Optional[dict] = None   # kf_R kf_t kf_xy kf_level kf_desc
+    #                               kf_kp_valid mp_pos
 
     @staticmethod
     def create(cfg: MapConfig, n_slots: int) -> "SlamMap":
@@ -107,7 +126,44 @@ class SlamMap:
             loop_edges=[],
             kf_frame_id=np.full(K, -1, np.int64),
             kf_timestamp=np.zeros(K, np.float64),
+            obs_np=np.full((K, N), -1, np.int32),
+            kf_valid_np=np.zeros(K, bool),
+            mp_valid_np=np.zeros(P, bool),
+            host=dict(
+                kf_R=np.tile(np.eye(3, dtype=np.float32), (K, 1, 1)),
+                kf_t=np.zeros((K, 3), np.float32),
+                kf_xy=np.zeros((K, N, 2), np.float32),
+                kf_level=np.zeros((K, N), np.int32),
+                kf_desc=np.zeros((K, N, 8), np.uint32),
+                kf_kp_valid=np.zeros((K, N), bool),
+                mp_pos=np.zeros((P, 3), np.float32),
+                mp_first_kf=np.full(P, -1, np.int32),
+            ),
         )
+
+    def refresh_host(self, *names: str) -> None:
+        """Re-fetch host mirrors from the device state (used after
+        loop-rate whole-map writes: loop correction, essential graph,
+        checkpoint load).  With no names, refreshes all of them."""
+        for name in names or tuple(self.host.keys()):
+            # np.asarray of a device array is READ-ONLY; mirrors must stay
+            # writable for the next insertion's row update
+            self.host[name] = np.array(getattr(self.state, name), copy=True)
+
+    def set_kf_obs(self, obs_np: np.ndarray) -> None:
+        """Adopt a full host observation table: ONE upload + mirror swap.
+        The canonical commit path for stages that edit observations on a
+        host working copy (fuse, point culling, loop fusion)."""
+        obs_np = np.ascontiguousarray(obs_np, np.int32)
+        self.state = self.state._replace(kf_obs=jnp.asarray(obs_np))
+        self.obs_np = obs_np
+
+    def set_mp_valid(self, mp_valid_np: np.ndarray) -> None:
+        """Adopt a full host landmark-validity mask (fuse merges, culling):
+        ONE upload + mirror swap."""
+        mp_valid_np = np.ascontiguousarray(mp_valid_np, bool)
+        self.state = self.state._replace(mp_valid=jnp.asarray(mp_valid_np))
+        self.mp_valid_np = mp_valid_np
 
     # ------------------------------------------------------------------
     # allocation (host decides ids; device arrays updated functionally)
@@ -127,10 +183,23 @@ class SlamMap:
         # one fused program (k traced -> no recompile per slot); this is on
         # the keyframe-insertion critical path of the tracking thread
         self.state = _insert_keyframe_jit(
-            self.state, jnp.int32(k), jnp.asarray(R), jnp.asarray(t),
-            jnp.asarray(xy), jnp.asarray(level), jnp.asarray(angle),
-            jnp.asarray(desc), jnp.asarray(kp_valid), jnp.asarray(obs))
+            self.state, np.int32(k), R, t, xy, level, angle, desc, kp_valid, obs)
         self.parent[k] = parent
+        self.obs_np[k] = np.asarray(obs)
+        self.kf_valid_np[k] = True
+        # ONE packed row fetch refreshes every host mirror for this row
+        # (the argument arrays may be device-resident slices)
+        N = self.state.kf_xy.shape[1]
+        blob = np.asarray(_kf_row_fetch_jit(self.state, np.int32(k)))
+        h = self.host
+        h["kf_R"][k] = blob[:9].reshape(3, 3)
+        h["kf_t"][k] = blob[9:12]
+        o = 12
+        h["kf_xy"][k] = blob[o:o + 2 * N].reshape(N, 2); o += 2 * N
+        h["kf_level"][k] = blob[o:o + N].astype(np.int32); o += N
+        h["kf_desc"][k] = blob[o:o + 8 * N].view(np.uint32).reshape(N, 8)
+        o += 8 * N
+        h["kf_kp_valid"][k] = blob[o:o + N] != 0
         self.kf_frame_id[k] = frame_id
         self.kf_timestamp[k] = timestamp
         self.n_kf += 1
@@ -177,6 +246,19 @@ class SlamMap:
             [self.kf_frame_id, np.full(pad, -1, np.int64)])
         self.kf_timestamp = np.concatenate(
             [self.kf_timestamp, np.zeros(pad)])
+        self.obs_np = np.concatenate(
+            [self.obs_np,
+             np.full((pad,) + self.obs_np.shape[1:], -1, np.int32)])
+        self.kf_valid_np = np.concatenate(
+            [self.kf_valid_np, np.zeros(pad, bool)])
+        h = self.host
+        h["kf_R"] = np.concatenate(
+            [h["kf_R"], np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+        for name, fill in (("kf_t", 0), ("kf_xy", 0), ("kf_level", 0),
+                           ("kf_desc", 0), ("kf_kp_valid", False)):
+            arr = h[name]
+            h[name] = np.concatenate(
+                [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)])
         if self.last_kf_compaction_lut is not None:
             lut = self.last_kf_compaction_lut
             # keep the pad row (old index K, value -1) at the END
@@ -192,7 +274,7 @@ class SlamMap:
         from .. import native
 
         st = self.state
-        valid = np.asarray(st.mp_valid)
+        valid = self.mp_valid_np
         live = np.where(valid[: self.n_mp])[0]
         n_live = len(live)
         freed = self.n_mp - n_live
@@ -208,8 +290,17 @@ class SlamMap:
             prev = self.last_compaction_lut
             self.last_compaction_lut = np.where(prev >= 0, lut[prev], -1)
 
-        obs_np = np.array(np.asarray(st.kf_obs), np.int32, copy=True)
+        obs_np = self.obs_np.copy()
         native.remap_observations(obs_np, lut)
+        self.obs_np = obs_np
+        self.mp_valid_np = np.concatenate(
+            [np.ones(n_live, bool), np.zeros(P - n_live, bool)])
+        self.host["mp_pos"] = np.concatenate(
+            [self.host["mp_pos"][live],
+             np.zeros((P - n_live, 3), np.float32)])
+        self.host["mp_first_kf"] = np.concatenate(
+            [self.host["mp_first_kf"][live],
+             np.full(P - n_live, -1, np.int32)])
 
         sel = jnp.asarray(live)
 
@@ -244,7 +335,7 @@ class SlamMap:
         rows).  Returns the number of freed slots."""
         st = self.state
         K = self.cfg.max_keyframes
-        valid = np.asarray(st.kf_valid)
+        valid = self.kf_valid_np
         live = np.where(valid[: self.n_kf])[0]
         n_live = len(live)
         freed = self.n_kf - n_live
@@ -303,6 +394,24 @@ class SlamMap:
             [self.kf_frame_id[live], np.full(K - n_live, -1, np.int64)])
         self.kf_timestamp = np.concatenate(
             [self.kf_timestamp[live], np.zeros(K - n_live)])
+        self.obs_np = np.concatenate(
+            [self.obs_np[live],
+             np.full((K - n_live,) + self.obs_np.shape[1:], -1, np.int32)])
+        self.kf_valid_np = np.concatenate(
+            [np.ones(n_live, bool), np.zeros(K - n_live, bool)])
+        h = self.host
+        h["kf_R"] = np.concatenate(
+            [h["kf_R"][live],
+             np.tile(np.eye(3, dtype=np.float32), (K - n_live, 1, 1))])
+        for name, fill in (("kf_t", 0), ("kf_xy", 0), ("kf_level", 0),
+                           ("kf_desc", 0), ("kf_kp_valid", False)):
+            arr = h[name]
+            h[name] = np.concatenate(
+                [arr[live],
+                 np.full((K - n_live,) + arr.shape[1:], fill, arr.dtype)])
+        first = h["mp_first_kf"]
+        h["mp_first_kf"] = np.where(
+            first >= 0, lut[np.clip(first, 0, K)], -1).astype(np.int32)
         self.loop_edges = [
             (int(lut[a]), int(lut[b])) for a, b in (self.loop_edges or [])
             if lut[a] >= 0 and lut[b] >= 0]
@@ -310,7 +419,8 @@ class SlamMap:
         return freed
 
     def add_points(self, pos, desc, normal, min_dist, max_dist, ref_kf: int,
-                   valid_mask) -> np.ndarray:
+                   valid_mask, pos_np: Optional[np.ndarray] = None
+                   ) -> np.ndarray:
         """Allocate a block of map points (masked).  pos: [M,3] etc;
         valid_mask: [M] — invalid rows are skipped but still consume no ids.
         Returns [M] int32 assigned ids (-1 where invalid)."""
@@ -327,31 +437,47 @@ class SlamMap:
             n_new = int(m.sum())
         ids = np.full(m.shape[0], -1, np.int32)
         ids[m] = self.n_mp + np.arange(n_new, dtype=np.int32)
-        dev_ids = jnp.asarray(np.where(m, ids, self.cfg.max_points))  # scatter-safe
-        m_dev = jnp.asarray(m)
-        s = self.state
-        P = self.cfg.max_points
+        # ONE fused program for all ten pool fields (keyframe-rate path: the
+        # per-field eager scatters used to cost ~100 dispatches per KF)
+        self.state = _add_points_jit(
+            self.state,
+            jnp.asarray(np.where(m, ids, self.cfg.max_points)),  # scatter-safe
+            jnp.asarray(m), jnp.asarray(pos), jnp.asarray(desc),
+            jnp.asarray(normal), jnp.asarray(min_dist),
+            jnp.asarray(max_dist), np.int32(ref_kf))
+        self.mp_valid_np[ids[m]] = True
+        self.host["mp_pos"][ids[m]] = np.asarray(
+            pos if pos_np is None else pos_np)[m]
+        self.host["mp_first_kf"][ids[m]] = ref_kf
+        self.n_mp += n_new
+        return ids
 
-        def scat(arr, vals):
-            # add-only scatter-set (see ops/scatter.py): invalid rows target
-            # the pad row; unique ids guarantee exact set semantics
-            padded = jnp.concatenate([arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
-            padded = scatter_ops.scatter_set_rows(
-                padded, dev_ids, vals, active=m_dev)
-            return padded[:P]
-
-        self.state = s._replace(
-            mp_valid=scat(s.mp_valid, jnp.asarray(m)),
-            mp_pos=scat(s.mp_pos, pos),
-            mp_desc=scat(s.mp_desc, desc),
-            mp_normal=scat(s.mp_normal, normal),
-            mp_min_dist=scat(s.mp_min_dist, min_dist),
-            mp_max_dist=scat(s.mp_max_dist, max_dist),
-            mp_ref_kf=scat(s.mp_ref_kf, jnp.full(m.shape[0], ref_kf)),
-            mp_first_kf=scat(s.mp_first_kf, jnp.full(m.shape[0], ref_kf)),
-            mp_found=scat(s.mp_found, jnp.ones(m.shape[0])),
-            mp_visible=scat(s.mp_visible, jnp.ones(m.shape[0])),
-        )
+    def add_points_from_kf(self, pos, kf: int, valid_mask,
+                           pos_np: Optional[np.ndarray] = None
+                           ) -> np.ndarray:
+        """add_points specialized for triangulation: descriptors come from
+        keyframe kf's slot rows IN-PROGRAM (desc[i] = kf_desc[kf, i]),
+        normals/bands zeroed for the next point_stats refresh.  One fused
+        dispatch — the generic path's eager kf_desc[kf] slice, zeros_like
+        and full(inf) cost a round trip each at keyframe rate."""
+        m = np.asarray(valid_mask).copy()
+        n_new = int(m.sum())
+        if self.n_mp + n_new > self.cfg.max_points:
+            self.compact_points()
+        if self.n_mp + n_new > self.cfg.max_points:
+            space = self.cfg.max_points - self.n_mp
+            m &= np.cumsum(m) <= space
+            n_new = int(m.sum())
+        ids = np.full(m.shape[0], -1, np.int32)
+        ids[m] = self.n_mp + np.arange(n_new, dtype=np.int32)
+        self.state = _add_points_from_kf_jit(
+            self.state,
+            jnp.asarray(np.where(m, ids, self.cfg.max_points)),
+            jnp.asarray(m), pos, np.int32(kf))
+        self.mp_valid_np[ids[m]] = True
+        self.host["mp_pos"][ids[m]] = np.asarray(
+            pos if pos_np is None else pos_np)[m]
+        self.host["mp_first_kf"][ids[m]] = kf
         self.n_mp += n_new
         return ids
 
@@ -363,6 +489,7 @@ class SlamMap:
             jnp.asarray(point_ids)[:, None])[:, 0]
         # kf_id is a host int -> static dynamic-update-slice, fast-path safe
         self.state = s._replace(kf_obs=s.kf_obs.at[kf_id].set(row))
+        self.obs_np[kf_id, np.asarray(slot_idx)] = np.asarray(point_ids)
 
     _OBS_MULTI_CAP = 4096
 
@@ -386,12 +513,84 @@ class SlamMap:
         self.state = s._replace(kf_obs=_set_obs_flat_jit(
             s.kf_obs, jnp.asarray(kf_ids), jnp.asarray(slot_idx),
             jnp.asarray(point_ids), jnp.asarray(valid)))
+        self.obs_np[kf_ids[valid], slot_idx[valid]] = point_ids[valid]
 
     def set_pose(self, kf_id: int, R, t):
         s = self.state
         self.state = s._replace(
             kf_R=s.kf_R.at[kf_id].set(R), kf_t=s.kf_t.at[kf_id].set(t)
         )
+        self.host["kf_R"][kf_id] = np.asarray(self.state.kf_R[kf_id])
+        self.host["kf_t"][kf_id] = np.asarray(self.state.kf_t[kf_id])
+
+
+@jax.jit
+def _add_points_jit(s: MapState, dev_ids, m, pos, desc, normal, min_dist,
+                    max_dist, ref_kf) -> MapState:
+    P = s.mp_valid.shape[0]
+    M = m.shape[0]
+
+    def scat(arr, vals):
+        # add-only scatter-set (see ops/scatter.py): invalid rows target
+        # the pad row; unique ids guarantee exact set semantics
+        padded = jnp.concatenate(
+            [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
+        padded = scatter_ops.scatter_set_rows(padded, dev_ids, vals, active=m)
+        return padded[:P]
+
+    return s._replace(
+        mp_valid=scat(s.mp_valid, m),
+        mp_pos=scat(s.mp_pos, pos),
+        mp_desc=scat(s.mp_desc, desc),
+        mp_normal=scat(s.mp_normal, normal),
+        mp_min_dist=scat(s.mp_min_dist, min_dist),
+        mp_max_dist=scat(s.mp_max_dist, max_dist),
+        mp_ref_kf=scat(s.mp_ref_kf, jnp.full(M, ref_kf)),
+        mp_first_kf=scat(s.mp_first_kf, jnp.full(M, ref_kf)),
+        mp_found=scat(s.mp_found, jnp.ones(M)),
+        mp_visible=scat(s.mp_visible, jnp.ones(M)),
+    )
+
+
+@jax.jit
+def _add_points_from_kf_jit(s: MapState, dev_ids, m, pos, kf) -> MapState:
+    P = s.mp_valid.shape[0]
+    M = m.shape[0]
+
+    def scat(arr, vals):
+        padded = jnp.concatenate(
+            [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
+        padded = scatter_ops.scatter_set_rows(padded, dev_ids, vals, active=m)
+        return padded[:P]
+
+    return s._replace(
+        mp_valid=scat(s.mp_valid, m),
+        mp_pos=scat(s.mp_pos, pos),
+        mp_desc=scat(s.mp_desc, s.kf_desc[kf]),
+        mp_normal=scat(s.mp_normal, jnp.zeros((M, 3), s.mp_normal.dtype)),
+        mp_min_dist=scat(s.mp_min_dist, jnp.zeros(M, s.mp_min_dist.dtype)),
+        mp_max_dist=scat(s.mp_max_dist,
+                         jnp.full(M, jnp.inf, s.mp_max_dist.dtype)),
+        mp_ref_kf=scat(s.mp_ref_kf, jnp.full(M, kf, s.mp_ref_kf.dtype)),
+        mp_first_kf=scat(s.mp_first_kf, jnp.full(M, kf, s.mp_first_kf.dtype)),
+        mp_found=scat(s.mp_found, jnp.ones(M, s.mp_found.dtype)),
+        mp_visible=scat(s.mp_visible, jnp.ones(M, s.mp_visible.dtype)),
+    )
+
+
+@jax.jit
+def _kf_row_fetch_jit(s: MapState, k) -> jnp.ndarray:
+    """One keyframe row as a single f32 blob: [9 R][3 t][2N xy][N level]
+    [8N desc bitcast f32][N kp_valid] — the insert-time mirror refresh and
+    the loop closer's BoW inputs in ONE round trip."""
+    desc_f = jax.lax.bitcast_convert_type(s.kf_desc[k], jnp.float32)
+    return jnp.concatenate([
+        s.kf_R[k].reshape(-1), s.kf_t[k],
+        s.kf_xy[k].reshape(-1),
+        s.kf_level[k].astype(jnp.float32),
+        desc_f.reshape(-1),
+        s.kf_kp_valid[k].astype(jnp.float32),
+    ])
 
 
 @jax.jit

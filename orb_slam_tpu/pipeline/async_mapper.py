@@ -46,6 +46,10 @@ def snapshot_map(smap: mapstore.SlamMap) -> mapstore.SlamMap:
         loop_edges=list(smap.loop_edges),
         kf_frame_id=smap.kf_frame_id.copy(),
         kf_timestamp=smap.kf_timestamp.copy(),
+        obs_np=smap.obs_np.copy(),
+        kf_valid_np=smap.kf_valid_np.copy(),
+        mp_valid_np=smap.mp_valid_np.copy(),
+        host={k: v.copy() for k, v in smap.host.items()},
     )
 
 

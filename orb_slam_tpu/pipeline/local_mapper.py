@@ -48,11 +48,27 @@ class LocalMapper:
             self._mirrors[key] = ent = (arr, np.asarray(arr))
         return ent[1]
 
-    def _covis_row_np(self, st, kf: int) -> np.ndarray:
-        """Covisibility weights of kf vs every keyframe, on host mirrors
-        (mapstore.covisibility_row is the device form)."""
-        obs = self._m(st.kf_obs, "kf_obs")
-        kf_valid = self._m(st.kf_valid, "kf_valid")
+    _consts: dict = None
+
+    def _const(self, key: str):
+        """Device-resident config constants, uploaded once per process
+        (passing a fresh jnp.asarray(list) per keyframe is an upload plus a
+        convert op — two round trips on latency-bound runtimes)."""
+        if self._consts is None:
+            self._consts = {
+                "sigma2": jnp.asarray(
+                    np.asarray(self.cfg.extractor.sigma2, np.float32)),
+                "K": jnp.asarray(
+                    np.asarray(self.cfg.camera.K, np.float32)),
+            }
+        return self._consts[key]
+
+    def _covis_row_np(self, smap, kf: int) -> np.ndarray:
+        """Covisibility weights of kf vs every keyframe, on the maintained
+        host observation mirror (mapstore.covisibility_row is the device
+        form; smap.obs_np is authoritative — no device fetch here)."""
+        obs = smap.obs_np
+        kf_valid = smap.kf_valid_np
         P = self.cfg.map.max_points
         seen = np.zeros(P + 1, bool)
         own = obs[kf]
@@ -70,8 +86,9 @@ class LocalMapper:
         """Reference stage order (LocalMapping::Run, src/LocalMapping.cc:46-119):
         process -> cull points -> triangulate -> fuse neighbors -> local BA."""
         metrics = {}
-        with _timer.stage("mapping", "pointStats"):
-            self.refresh_point_stats(smap)
+        # (no stats refresh before culling: MapPointCulling reads only the
+        # found/visible ratio and observation counts, src/LocalMapping.cc:
+        # 190-218 — normals/bands are refreshed after triangulation below)
         with _timer.stage("mapping", "cullPoints"):
             metrics["culled_points"] = self.cull_points(smap, kf)
         with _timer.stage("mapping", "triangulate"):
@@ -101,7 +118,7 @@ class LocalMapper:
         st = smap.state
         smap.state = st._replace(
             mp_desc=mk.refresh_medoid_descriptors(
-                st.kf_obs, st.kf_desc, st.mp_desc, jnp.int32(kf),
+                st.kf_obs, st.kf_desc, st.mp_desc, np.int32(kf),
                 max_obs=max_obs, cap=cap))
 
     # ------------------------------------------------------------------
@@ -124,7 +141,7 @@ class LocalMapper:
             # 20 covisible KFs searched (src/LocalMapping.cc:227)
             max_neighbors = self.cfg.local_mapping.triangulation_neighbor_kfs
         st = smap.state
-        weights = self._covis_row_np(st, kf)
+        weights = self._covis_row_np(smap, kf)
         order = np.argsort(-weights)
         neighbors = [int(k) for k in order[:max_neighbors] if weights[k] > 0]
         if not neighbors:
@@ -134,8 +151,8 @@ class LocalMapper:
                 neighbors = [p]
 
         # baseline gate on host mirrors (src/LocalMapping.cc:255-266)
-        kf_R = self._m(st.kf_R, "kf_R")
-        kf_t = self._m(st.kf_t, "kf_t")
+        kf_R = smap.host["kf_R"]
+        kf_t = smap.host["kf_t"]
         centers = -np.einsum("kji,kj->ki", kf_R, kf_t)
         med_depth = self._median_depth(smap, kf)
         if med_depth > 0:
@@ -154,11 +171,11 @@ class LocalMapper:
         nb_valid = np.zeros(Nn, bool)
         nb_valid[: len(neighbors)] = True
         res = mk.triangulate_multi(
-            jnp.int32(kf), jnp.asarray(nb_idx), jnp.asarray(nb_valid),
+            np.int32(kf), nb_idx, nb_valid,
             st.kf_xy, st.kf_desc, st.kf_level, st.kf_angle,
             st.kf_kp_valid, st.kf_obs, st.kf_R, st.kf_t,
-            jnp.asarray(self.cfg.extractor.sigma2),
-            jnp.asarray(self.cfg.camera.K), self.cam,
+            self._const("sigma2"),
+            self._const("K"), self.cam,
             max_dist=self.cfg.matcher.th_low,
             epipolar_chi2=self.cfg.local_mapping.epipolar_chi2,
             reproj_chi2=self.cfg.local_mapping.reproj_chi2,
@@ -166,20 +183,14 @@ class LocalMapper:
             histo_length=self.cfg.matcher.histo_length,
             check_orientation=self.cfg.matcher.check_orientation,
         )
-        blob = np.asarray(jnp.concatenate([
-            res.ok.astype(jnp.float32)[:, None], res.X,
-            res.slot2.astype(jnp.float32)[:, None],
-            res.nb_of.astype(jnp.float32)[:, None]], axis=1))
+        blob = np.asarray(res.blob)   # ONE fetch (packed in-program)
         ok = blob[:, 0] > 0
         if not ok.any():
             return 0
         if smap.n_mp + int(ok.sum()) > self.cfg.map.max_points:
             ok = ok & (np.cumsum(ok) <= self.cfg.map.max_points - smap.n_mp)
-        ids = smap.add_points(
-            res.X, st.kf_desc[kf], jnp.zeros_like(res.X),
-            jnp.zeros(ok.shape[0]), jnp.full(ok.shape[0], np.inf),
-            kf, ok,
-        )
+        ids = smap.add_points_from_kf(
+            res.X, kf, ok, pos_np=np.ascontiguousarray(blob[:, 1:4]))
         slots1 = np.where(ok)[0]
         slots2 = blob[slots1, 4].astype(np.int32)
         nb_of = blob[slots1, 5].astype(np.int32)
@@ -205,13 +216,13 @@ class LocalMapper:
         lcfg = self.cfg.local_mapping
         if max_neighbors is None:
             max_neighbors = lcfg.fuse_neighbor_kfs
-        weights = self._covis_row_np(st, kf)
+        weights = self._covis_row_np(smap, kf)
         order = np.argsort(-weights)
         neighbors = [int(k) for k in order[:max_neighbors] if weights[k] > 0]
         # extend with second neighbors (src/LocalMapping.cc:402-409)
         seen = set(neighbors) | {kf}
         for nb in list(neighbors):
-            w2 = self._covis_row_np(smap.state, nb)
+            w2 = self._covis_row_np(smap, nb)
             order2 = np.argsort(-w2)
             for k2 in order2[: lcfg.fuse_second_neighbor_kfs]:
                 k2 = int(k2)
@@ -229,8 +240,8 @@ class LocalMapper:
         st = smap.state
         P = self.cfg.map.max_points
         ctx = dict(
-            obs=self._m(st.kf_obs, "kf_obs").copy(),
-            mp_valid=self._m(st.mp_valid, "mp_valid").copy(),
+            obs=smap.obs_np.copy(),
+            mp_valid=smap.mp_valid_np.copy(),
             changed=False)
 
         # neighbors' landmarks -> new keyframe
@@ -240,20 +251,55 @@ class LocalMapper:
         cand = np.asarray([c for c in cand if c not in own], np.int64)
         n_fused += self._fuse_candidates_into(smap, kf, cand, ctx)
 
-        # new keyframe's landmarks -> each neighbor
+        # new keyframe's landmarks -> ALL neighbors in ONE vmapped program +
+        # ONE fetch (the per-neighbor loop cost a round trip each).  The
+        # candidate sets come from ctx after the kf-direction fuse; merge
+        # bookkeeping still applies sequentially per target below, and the
+        # per-candidate validity check skips ids a previous target merged
+        # away (semantics match the sequential reference order except that
+        # candidate PRE-filtering does not see intra-stage merges).
+        own_kf = ctx["obs"][kf]
+        own_ids = np.unique(own_kf[own_kf >= 0])
+        cap = self.cfg.map.local_ba_max_points
+        tgt_list, sels, cvalids, cand_lists = [], [], [], []
         for nb in neighbors:
-            own_kf = ctx["obs"][kf]
-            own_ids = np.unique(own_kf[own_kf >= 0])
             nb_obs = ctx["obs"][nb]
             nb_own = set(nb_obs[nb_obs >= 0].tolist())
-            cand = np.asarray([c for c in own_ids if c not in nb_own],
-                              np.int64)
-            n_fused += self._fuse_candidates_into(smap, nb, cand, ctx)
+            cand = np.asarray([c for c in own_ids if c not in nb_own
+                               and ctx["mp_valid"][c]], np.int64)[:cap]
+            if len(cand) == 0:
+                continue
+            pad = cap - len(cand)
+            tgt_list.append(nb)
+            cand_lists.append(cand)
+            sels.append(np.concatenate([cand, np.zeros(pad, np.int64)])
+                        .astype(np.int32))
+            cvalids.append(np.concatenate(
+                [np.ones(len(cand), bool), np.zeros(pad, bool)]))
+        if tgt_list:
+            # pad the target axis to a small bucket set (compile hygiene)
+            T = len(tgt_list)
+            T_cap = max(4, 1 << (T - 1).bit_length())
+            while len(tgt_list) < T_cap:
+                tgt_list.append(tgt_list[0])
+                sels.append(sels[0])
+                cvalids.append(np.zeros(cap, bool))
+            blobs = np.asarray(mk.fuse_into_keyframe_tables_multi(
+                st.kf_xy, st.kf_desc, st.kf_level, st.kf_kp_valid,
+                st.kf_R, st.kf_t,
+                np.asarray(tgt_list, np.int32),
+                np.ascontiguousarray(ctx["obs"][tgt_list]),
+                st.mp_pos, st.mp_desc,
+                np.stack(sels), np.stack(cvalids),
+                self._const("sigma2"), self.cam,
+                np.float32(3.0), np.int32(self.cfg.matcher.th_low)))
+            for ti in range(T):
+                n_fused += self._fuse_apply(
+                    tgt_list[ti], cand_lists[ti], blobs[ti], ctx)
 
         if ctx["changed"]:
-            smap.state = smap.state._replace(
-                kf_obs=jnp.asarray(ctx["obs"]),
-                mp_valid=jnp.asarray(ctx["mp_valid"]))
+            smap.set_kf_obs(ctx["obs"])
+            smap.set_mp_valid(ctx["mp_valid"])
         return n_fused
 
     def _fuse_candidates_into(self, smap: mapstore.SlamMap, target_kf: int,
@@ -271,19 +317,25 @@ class LocalMapper:
         cap = self.cfg.map.local_ba_max_points
         cand_ids = cand_ids[:cap]
         pad = cap - len(cand_ids)
-        sel = np.concatenate([cand_ids, np.zeros(pad, np.int64)])
+        sel = np.concatenate([cand_ids, np.zeros(pad, np.int64)]
+                             ).astype(np.int32)
         cvalid = np.concatenate(
             [np.ones(len(cand_ids), bool), np.zeros(pad, bool)])
         blob = np.asarray(mk.fuse_into_keyframe_tables(
             st.kf_xy, st.kf_desc, st.kf_level, st.kf_kp_valid,
             st.kf_R, st.kf_t,
-            jnp.int32(target_kf), jnp.asarray(ctx["obs"][target_kf]),
+            np.int32(target_kf), np.ascontiguousarray(ctx["obs"][target_kf]),
             st.mp_pos, st.mp_desc,
-            jnp.asarray(sel, jnp.int32), jnp.asarray(cvalid),
-            jnp.asarray(self.cfg.extractor.sigma2), self.cam,
+            sel, cvalid,
+            self._const("sigma2"), self.cam,
             np.float32(3.0), np.int32(self.cfg.matcher.th_low)))
-        slot, ok = blob[:, 0], blob[:, 1] > 0
+        return self._fuse_apply(target_kf, cand_ids, blob, ctx)
 
+    def _fuse_apply(self, target_kf: int, cand_ids: np.ndarray,
+                    blob: np.ndarray, ctx: dict) -> int:
+        """Host half of a fuse: apply one fetched (slot, ok) blob to the
+        ctx working copies (observation writes, MapPoint::Replace merges)."""
+        slot, ok = blob[:, 0], blob[:, 1] > 0
         obs = ctx["obs"]
         P = self.cfg.map.max_points
         obs_counts = np.bincount(obs[obs >= 0], minlength=P)
@@ -324,13 +376,13 @@ class LocalMapper:
         """ComputeSceneMedianDepth (src/KeyFrame.cc:659-689), on host
         mirrors (zero device round trips)."""
         st = smap.state
-        obs = self._m(st.kf_obs, "kf_obs")[kf]
+        obs = smap.obs_np[kf]
         pid = obs[obs >= 0]
         if len(pid) == 0:
             return -1.0
-        X = self._m(st.mp_pos, "mp_pos")[pid]
-        R = self._m(st.kf_R, "kf_R")[kf]
-        t = self._m(st.kf_t, "kf_t")[kf]
+        X = smap.host["mp_pos"][pid]
+        R = smap.host["kf_R"][kf]
+        t = smap.host["kf_t"][kf]
         z = (X @ R.T + t)[:, 2]
         return float(np.median(z)) if len(z) else -1.0
 
@@ -358,8 +410,8 @@ class LocalMapper:
         lut = np.full(mc.max_points + 1, -1, np.int32)
         lut[point_ids] = np.arange(n_pt, dtype=np.int32)
 
-        obs = self._m(st.kf_obs, "kf_obs")[cams]          # [n_cam, N]
-        kpv = self._m(st.kf_kp_valid, "kf_kp_valid")[cams]
+        obs = smap.obs_np[cams]                           # [n_cam, N]
+        kpv = smap.host["kf_kp_valid"][cams]
         cam_idx, pt_idx, slot_idx, ev = native.pack_ba_edges(
             np.ascontiguousarray(obs), np.ascontiguousarray(kpv), lut)
 
@@ -370,10 +422,10 @@ class LocalMapper:
         slot_idx = np.concatenate([slot_idx, np.zeros(pad, np.int32)])
         ev = np.concatenate([ev, np.zeros(pad, bool)])
 
-        uv = self._m(st.kf_xy, "kf_xy")[cams].reshape(-1, 2)
+        uv = smap.host["kf_xy"][cams].reshape(-1, 2)
         uv = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
-        lev = self._m(st.kf_level, "kf_level")[cams].reshape(-1)
-        lev = np.concatenate([lev, np.zeros(pad, np.int64)])
+        lev = smap.host["kf_level"][cams].reshape(-1)
+        lev = np.concatenate([lev, np.zeros(pad, np.int32)])
         s2 = self.cfg.extractor.sigma2
         inv_s2 = 1.0 / s2[np.clip(lev, 0, len(s2) - 1)]
 
@@ -386,8 +438,8 @@ class LocalMapper:
         )
 
         cam_pad = K_cap - n_cam
-        kf_R_m = self._m(st.kf_R, "kf_R")
-        kf_t_m = self._m(st.kf_t, "kf_t")
+        kf_R_m = smap.host["kf_R"]
+        kf_t_m = smap.host["kf_t"]
         Rs = np.concatenate([
             kf_R_m[cams],
             np.tile(np.eye(3, dtype=np.float32), (cam_pad, 1, 1))])
@@ -396,7 +448,7 @@ class LocalMapper:
         fixed_mask = np.zeros(K_cap, bool)
         fixed_mask[len(window):] = True  # fixed kfs + padding
         pt_pad = P_cap - n_pt
-        mp_pos_m = self._m(st.mp_pos, "mp_pos")
+        mp_pos_m = smap.host["mp_pos"]
         Xs = np.concatenate([
             mp_pos_m[point_ids] if n_pt else np.zeros((0, 3), np.float32),
             np.zeros((pt_pad, 3), np.float32)]).astype(np.float32)
@@ -430,7 +482,20 @@ class LocalMapper:
         pid_valid = np.zeros(P_cap, bool)
         pid_valid[:n_pt] = True
 
-        inl = np.asarray(res.edge_inliers)
+        # ONE packed fetch for (R, t, points, inliers); the separate
+        # inlier fetch + full-array mirror re-fetches cost a round trip each
+        if res.host_blob is not None:
+            hb = np.asarray(res.host_blob)
+            o = 9 * K_cap
+            R_h = hb[:o].reshape(K_cap, 3, 3)
+            t_h = hb[o:o + 3 * K_cap].reshape(K_cap, 3); o += 3 * K_cap
+            X_h = hb[o:o + 3 * P_cap].reshape(P_cap, 3); o += 3 * P_cap
+            inl = hb[o:] != 0
+        else:  # distributed-solver path builds no blob
+            R_h = np.asarray(res.R)
+            t_h = np.asarray(res.t)
+            X_h = np.asarray(res.points)
+            inl = np.asarray(res.edge_inliers)
         bad = book["ev"] & ~inl
         glob_cam = np.asarray(book["cams"], np.int64)[book["cam_idx"]]
         bad_flat = glob_cam * N + book["slot_idx"].astype(np.int64)
@@ -443,12 +508,22 @@ class LocalMapper:
             jnp.asarray(bad_flat.astype(np.int32)), jnp.asarray(bad))
         smap.state = st._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos,
                                  kf_obs=kf_obs)
+        # mirror the erasures (the device program zeroed the same slots)
+        erase = bad_flat[bad]
+        if len(erase):
+            smap.obs_np.reshape(-1)[erase] = -1
+        # patch the pose/position mirrors from the same fetched values the
+        # device write-back scattered (bitwise identical)
+        smap.host["kf_R"][window] = R_h[:n_w]
+        smap.host["kf_t"][window] = t_h[:n_w]
+        if n_pt:
+            smap.host["mp_pos"][point_ids] = X_h[:n_pt]
 
     def local_ba(self, smap: mapstore.SlamMap, center_kf: int):
         """Covisible window + its points + fixed boundary observers."""
         mc = self.cfg.map
         st = smap.state
-        weights = self._covis_row_np(st, center_kf)
+        weights = self._covis_row_np(smap, center_kf)
         covis = np.argsort(-weights)
         window = [center_kf] + [
             int(k) for k in covis[: mc.local_ba_max_kfs - 1] if weights[k] > 0
@@ -457,10 +532,10 @@ class LocalMapper:
         # src/Optimizer.cc:357) — without it the window drifts freely
         if 0 in window:
             window.remove(0)
-        all_obs = self._m(st.kf_obs, "kf_obs")
+        all_obs = smap.obs_np
         obs_w = all_obs[window]
         point_ids = np.unique(obs_w[obs_w >= 0])
-        mp_valid = self._m(st.mp_valid, "mp_valid")
+        mp_valid = smap.mp_valid_np
         point_ids = point_ids[mp_valid[point_ids]]
 
         # fixed boundary: keyframes outside the window observing those points
@@ -468,7 +543,7 @@ class LocalMapper:
         lut[point_ids] = True
         observes_local = lut[np.clip(all_obs, 0, mc.max_points)] & (all_obs >= 0)
         kf_hits = observes_local.any(axis=1)
-        kf_valid_m = self._m(st.kf_valid, "kf_valid")
+        kf_valid_m = smap.kf_valid_np
         fixed_kfs = [
             int(k) for k in np.where(kf_hits)[0]
             if k not in window and kf_valid_m[k]
@@ -487,11 +562,11 @@ class LocalMapper:
         """All keyframes, first fixed (GlobalBundleAdjustemnt,
         src/Optimizer.cc:38-43)."""
         st = smap.state
-        kf_valid_m = self._m(st.kf_valid, "kf_valid")
+        kf_valid_m = smap.kf_valid_np
         window = [k for k in range(smap.n_kf) if kf_valid_m[k]]
         if len(window) < 2:
             return
-        all_obs = self._m(st.kf_obs, "kf_obs")[window]
+        all_obs = smap.obs_np[window]
         point_ids = np.unique(all_obs[all_obs >= 0])
         # gauge: fix the first keyframe by listing it in the fixed group
         Rs, ts, Xs, fixed, edges, book = self._build_ba_problem(
@@ -526,15 +601,15 @@ class LocalMapper:
         n_levels = self.cfg.extractor.n_levels
         st = smap.state
         P = self.cfg.map.max_points
-        weights = self._covis_row_np(st, current_kf)
+        weights = self._covis_row_np(smap, current_kf)
         candidates = [int(k) for k in np.where(weights > 0)[0]]
         protected = {0, current_kf}
         for a, b in (smap.loop_edges or []):
             protected |= {a, b}
 
-        obs_m = self._m(st.kf_obs, "kf_obs").copy()
-        lvl_m = self._m(st.kf_level, "kf_level")
-        kf_valid_m = self._m(st.kf_valid, "kf_valid")
+        obs_m = smap.obs_np.copy()
+        lvl_m = smap.host["kf_level"]
+        kf_valid_m = smap.kf_valid_np
 
         def counts_by_level(obs):
             # [P, L] cumulative same-or-finer observation counts, host form
@@ -560,7 +635,7 @@ class LocalMapper:
             if redundant.mean() >= lm_cfg.kf_culling_redundancy:
                 self._erase_keyframe(smap, k)
                 obs_m[k] = -1
-                kf_valid_m = self._m(smap.state.kf_valid, "kf_valid")
+                kf_valid_m = smap.kf_valid_np
                 counts_le = counts_by_level(obs_m)
                 self.last_culled_kfs.append(k)
         return len(self.last_culled_kfs)
@@ -578,16 +653,14 @@ class LocalMapper:
         p = int(smap.parent[k])
         W = None
         if children:
-            W = np.stack([self._covis_row_np(smap.state, c)
+            W = np.stack([self._covis_row_np(smap, c)
                           for c in range(smap.n_kf)])
 
         st = smap.state
-        N = st.kf_obs.shape[1]
-        smap.state = st._replace(
-            kf_valid=st.kf_valid.at[k].set(False),
-            kf_obs=st.kf_obs.at[k].set(jnp.full((N,), -1, jnp.int32)),
-            kf_kp_valid=st.kf_kp_valid.at[k].set(False),
-        )
+        smap.state = _erase_kf_jit(st, np.int32(k))
+        smap.obs_np[k] = -1
+        smap.kf_valid_np[k] = False
+        smap.host["kf_kp_valid"][k] = False
 
         candidates = {p} if p >= 0 else set()
         pending = set(children)
@@ -614,12 +687,12 @@ class LocalMapper:
         lm_cfg = self.cfg.local_mapping
         st = smap.state
         P = self.cfg.map.max_points
-        obs_m = self._m(st.kf_obs, "kf_obs")
+        obs_m = smap.obs_np
         counts = np.bincount(obs_m[obs_m >= 0], minlength=P)
         found = self._m(st.mp_found, "mp_found")
         visible = self._m(st.mp_visible, "mp_visible")
-        first = self._m(st.mp_first_kf, "mp_first_kf")
-        valid = self._m(st.mp_valid, "mp_valid")
+        first = smap.host["mp_first_kf"]
+        valid = smap.mp_valid_np
 
         # Only *recently created* points are candidates (the reference walks
         # mlpRecentAddedMapPoints, src/LocalMapping.cc:190-218; points older
@@ -636,8 +709,8 @@ class LocalMapper:
         obs = obs_m.copy()
         dangling = bad[np.clip(obs, 0, P - 1)] & (obs >= 0)
         obs[dangling] = -1
-        smap.state = st._replace(mp_valid=jnp.asarray(valid & ~bad),
-                                 kf_obs=jnp.asarray(obs))
+        smap.set_kf_obs(obs)
+        smap.set_mp_valid(valid & ~bad)
         return int(bad.sum())
 
 
@@ -663,3 +736,14 @@ def _ba_write_back_jit(kf_R, kf_t, mp_pos, kf_obs,
     fidx = jnp.where(bad_valid, bad_flat, K * N)
     kf_obs = flat.at[fidx].set(-1)[:K * N].reshape(K, N)
     return kf_R, kf_t, mp_pos, kf_obs
+
+
+@jax.jit
+def _erase_kf_jit(s, k):
+    """One-program keyframe erasure (validity, observations, keypoints)."""
+    N = s.kf_obs.shape[1]
+    return s._replace(
+        kf_valid=s.kf_valid.at[k].set(False),
+        kf_obs=s.kf_obs.at[k].set(jnp.full((N,), -1, jnp.int32)),
+        kf_kp_valid=s.kf_kp_valid.at[k].set(False),
+    )

@@ -34,14 +34,6 @@ from ..place import database as db_mod
 from ..solvers import sim3_solver, sim3_opt, pose_graph
 
 
-@jax.jit
-def _kf_row_blob(kf_desc, kf_kp_valid, kf):
-    """One keyframe's descriptors + validity as a single fetchable u32 blob
-    (a lone round trip per keyframe on latency-bound runtimes)."""
-    return jnp.concatenate([kf_desc[kf].reshape(-1),
-                            kf_kp_valid[kf].astype(jnp.uint32)])
-
-
 @dataclass
 class LoopCloser:
     cfg: SystemConfig
@@ -92,16 +84,20 @@ class LoopCloser:
         if self._mirrors is not None:
             self._mirrors.clear()
 
-    def _covis_np(self, st) -> np.ndarray:
+    def _covis_np(self, smap) -> np.ndarray:
         # cached per kf_obs generation; sparse point->keyframe counting in
         # the C extension (native.covisibility_counts) — cost follows the
         # observation count, not K x max_points, so loop detection stays
-        # flat as the map grows (round-1 [K,P] incidence BLAS removed)
+        # flat as the map grows (round-1 [K,P] incidence BLAS removed).
+        # obs comes from the maintained host mirror — no device fetch.
+        st = smap.state
         ent = (self._mirrors or {}).get("covis_W")
         if ent is not None and ent[0] is st.kf_obs:
             return ent[1]
-        obs = self._m(st.kf_obs, "kf_obs")
-        kf_valid = self._m(st.kf_valid, "kf_valid")
+        if self._mirrors is None:
+            self._mirrors = {}
+        obs = smap.obs_np
+        kf_valid = smap.kf_valid_np
         W = native.covisibility_counts(
             obs, kf_valid, self.cfg.map.max_points).astype(np.int64)
         # edge rule: weight >= 15 or best-edge fallback (KeyFrame.cc:378-421)
@@ -139,19 +135,15 @@ class LoopCloser:
             self.db = self.db.grown(max_kf)
 
     def add_keyframe(self, smap: mapstore.SlamMap, kf: int):
-        """BoW transform on the HOST: one packed device fetch for the
-        keyframe's descriptor row, then the tree descent/scoring in numpy —
-        the per-keyframe cost is a single round trip instead of a device
-        program chain (see place/database.py module docstring)."""
+        """BoW transform fully on the HOST: descriptors and validity come
+        from the maintained row mirrors (mapstore insertion fetched them in
+        one packed round trip), the tree descent/scoring is numpy — ZERO
+        device interactions per keyframe here (see place/database.py)."""
         self.ensure_capacity(smap.cfg.max_keyframes)
-        st = smap.state
         with _timer.stage("loopclosing", "bowTransform"):
-            blob = np.asarray(_kf_row_blob(
-                st.kf_desc, st.kf_kp_valid, jnp.int32(kf)))
-            N = st.kf_desc.shape[1]
-            desc = blob[: N * 8].reshape(N, 8)
-            valid = blob[N * 8:].astype(bool)
-            bow = voc_mod.transform_np(self.voc, desc, valid)
+            bow = voc_mod.transform_np(
+                self.voc, smap.host["kf_desc"][kf],
+                smap.host["kf_kp_valid"][kf])
         self.kf_bow[kf] = bow
         self.db = self.db.add(kf, bow)
 
@@ -188,7 +180,7 @@ class LoopCloser:
     def _detect(self, smap: mapstore.SlamMap, kf: int) -> np.ndarray:
         st = smap.state
         P = self.cfg.map.max_points
-        weights_row = self._covis_np(st)[kf]
+        weights_row = self._covis_np(smap)[kf]
         neighbors = np.where(weights_row > 0)[0]
 
         # minScore = min BoW similarity vs the covisible neighborhood
@@ -205,7 +197,7 @@ class LoopCloser:
         exclude = np.zeros(len(self.db.has_row), bool)
         exclude[kf] = True
         exclude[neighbors] = True
-        covis = self._covis_np(st).astype(np.float64)
+        covis = self._covis_np(smap).astype(np.float64)
         cand = db_mod.detect_candidates(
             self.db, bow, exclude, covis,
             min_score=max(min_score, 1e-3),
@@ -244,8 +236,8 @@ class LoopCloser:
             cand = int(cand)
             # landmark-to-landmark descriptor matching (SearchByBoW analog;
             # on TPU a full dense match needs no BoW gating)
-            obs1 = np.asarray(st.kf_obs[kf])
-            obs2 = np.asarray(st.kf_obs[cand])
+            obs1 = smap.obs_np[kf]
+            obs2 = smap.obs_np[cand]
             s1 = np.where(obs1 >= 0)[0]
             s2 = np.where(obs2 >= 0)[0]
             if len(s1) < self.cfg.loop.min_bow_matches or \
@@ -328,9 +320,9 @@ class LoopCloser:
         st = smap.state
         P = self.cfg.map.max_points
         s, R, t = g12
-        w2 = self._covis_np(st)[cand]
+        w2 = self._covis_np(smap)[cand]
         group = [cand] + [int(k) for k in np.argsort(-w2)[:5] if w2[k] > 0]
-        obs_g = self._m(st.kf_obs, "kf_obs")[group]
+        obs_g = smap.obs_np[group]
         pid = np.unique(obs_g[obs_g >= 0])
         if len(pid) == 0:
             return 0
@@ -385,7 +377,7 @@ class LoopCloser:
         s_snap = np.ones(n_kf, np.float32)
         R_snap = np.asarray(st.kf_R[:n_kf])
         t_snap = np.asarray(st.kf_t[:n_kf])
-        covis = self._covis_np(st)[:n_kf, :n_kf]
+        covis = self._covis_np(smap)[:n_kf, :n_kf]
 
         # ---- 1. propagation to the current group --------------------------
         gs, gR, gt = g12
@@ -417,7 +409,7 @@ class LoopCloser:
         # each group-observed landmark is corrected once, by its first
         # observing group member (mnCorrectedByKF, LoopClosing.cc:443-461)
         corrected_by = np.full(self.cfg.map.max_points, -1, np.int32)
-        obs = np.asarray(st.kf_obs)
+        obs = smap.obs_np
         for i in group:
             pid = obs[i]
             pid = pid[pid >= 0]
@@ -441,11 +433,13 @@ class LoopCloser:
             kf_t=st.kf_t.at[:n_kf].set(t_se3),
             mp_pos=new_pos,
         )
+        # loop-rate whole-map write: re-fetch the pose/position mirrors
+        smap.refresh_host("kf_R", "kf_t", "mp_pos")
 
         # ---- 2. fuse across the loop, then collect LoopConnections --------
         self._search_and_fuse(smap, kf, loop_kf)
         st = smap.state
-        covis_after = self._covis_np(st)[:n_kf, :n_kf]
+        covis_after = self._covis_np(smap)[:n_kf, :n_kf]
         strong_th = self.cfg.loop.covisibility_weight_strong
         loop_pairs = set()
         group_set = set(group)
@@ -545,6 +539,7 @@ class LoopCloser:
             kf_t=st.kf_t.at[:n_kf].set(t_se3),
             mp_pos=new_pos,
         )
+        smap.refresh_host("kf_R", "kf_t", "mp_pos")
         smap.loop_edges.append((kf, loop_kf))
 
     def _search_and_fuse(self, smap: mapstore.SlamMap, kf: int, loop_kf: int):
@@ -556,21 +551,19 @@ class LoopCloser:
         lm = LocalMapper(cfg=self.cfg, cam=self.cam)
         st = smap.state
         # current-side keyframes: kf + covisible; loop-side landmark pool
-        weights = lm._covis_row_np(st, kf)
+        weights = lm._covis_row_np(smap, kf)
         cur_side = [kf] + [int(k) for k in np.argsort(-weights)[:5]
                            if weights[k] > 0]
-        w2 = lm._covis_row_np(st, loop_kf)
+        w2 = lm._covis_row_np(smap, loop_kf)
         loop_side = [loop_kf] + [int(k) for k in np.argsort(-w2)[:5]
                                  if w2[k] > 0]
-        obs_m = lm._m(st.kf_obs, "kf_obs")
-        obs_l = obs_m[loop_side]
+        obs_l = smap.obs_np[loop_side]
         cand = np.unique(obs_l[obs_l >= 0])
-        ctx = dict(obs=obs_m.copy(),
-                   mp_valid=lm._m(st.mp_valid, "mp_valid").copy(),
+        ctx = dict(obs=smap.obs_np.copy(),
+                   mp_valid=smap.mp_valid_np.copy(),
                    changed=False)
         for tgt in cur_side:
             lm._fuse_candidates_into(smap, tgt, cand, ctx)
         if ctx["changed"]:
-            smap.state = smap.state._replace(
-                kf_obs=jnp.asarray(ctx["obs"]),
-                mp_valid=jnp.asarray(ctx["mp_valid"]))
+            smap.set_kf_obs(ctx["obs"])
+            smap.set_mp_valid(ctx["mp_valid"])

@@ -278,6 +278,8 @@ class MultiTriangulation(NamedTuple):
     ok: jnp.ndarray       # [N] any neighbor triangulated this slot
     slot2: jnp.ndarray    # [N] matched slot in the winning neighbor
     nb_of: jnp.ndarray    # [N] winning neighbor keyframe id
+    blob: jnp.ndarray     # [N, 6] f32 [ok, X, slot2, nb_of] packed
+    #                       in-program so the caller fetches ONCE
 
 
 @partial(jax.jit, static_argnames=("scale_factor", "histo_length",
@@ -328,9 +330,43 @@ def triangulate_multi(
     first = jnp.argmax(oks, axis=0)                        # first True
     any_ok = jnp.any(oks, axis=0)
     cols = jnp.arange(oks.shape[1])
+    X_win = Xs[first, cols]
+    slot2_win = slot2s[first, cols]
+    nb_win = nb_idx[first]
+    blob = jnp.concatenate([
+        any_ok.astype(jnp.float32)[:, None], X_win,
+        slot2_win.astype(jnp.float32)[:, None],
+        nb_win.astype(jnp.float32)[:, None]], axis=1)
     return MultiTriangulation(
-        X=Xs[first, cols], ok=any_ok,
-        slot2=slot2s[first, cols], nb_of=nb_idx[first])
+        X=X_win, ok=any_ok, slot2=slot2_win, nb_of=nb_win, blob=blob)
+
+
+@jax.jit
+def fuse_into_keyframe_tables_multi(
+    kf_xy, kf_desc, kf_level, kf_kp_valid, kf_R, kf_t,
+    targets, obs_rows,
+    mp_pos, mp_desc, sels, cand_valids,
+    sigma2_table, cam: CameraParams,
+    radius, max_dist,
+):
+    """fuse_into_keyframe_tables vmapped over fuse targets: ONE dispatch +
+    ONE [T, M, 2] fetch for the whole neighbor set (the per-target loop cost
+    T round trips on latency-bound runtimes).  targets/obs_rows/sels/
+    cand_valids carry the leading [T] axis; the keyframe tables broadcast."""
+    def one(target, obs_row, sel, cvalid):
+        lv = kf_level[target]
+        s2 = sigma2_table[jnp.clip(lv, 0, sigma2_table.shape[0] - 1)]
+        selc = jnp.clip(sel, 0, None)
+        slot, ok = fuse_into_keyframe(
+            kf_xy[target], kf_desc[target], lv,
+            kf_kp_valid[target],
+            obs_row,
+            kf_R[target], kf_t[target],
+            mp_pos[selc], mp_desc[selc], cvalid, selc,
+            s2, cam, radius=radius, max_dist=max_dist)
+        return jnp.stack([slot, ok.astype(jnp.int32)], axis=1)
+
+    return jax.vmap(one)(targets, obs_rows, sels, cand_valids)
 
 
 @jax.jit

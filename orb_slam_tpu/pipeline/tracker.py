@@ -38,6 +38,25 @@ from .local_mapper import LocalMapper
 from .loop_closer import LoopCloser
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("has_lut",))
+def _commit_stats_jit(nvis, nfnd, cur_vis, cur_fnd, snap_vis, snap_fnd,
+                      lut, mp_pos, pid, *, has_lut: bool):
+    """Mapping-commit device work in ONE program: re-apply the tracker-side
+    visible/found deltas (through the worker's compaction LUT if any) and
+    gather the remapped association positions."""
+    P = nvis.shape[0]
+    dvis = cur_vis - snap_vis
+    dfnd = cur_fnd - snap_fnd
+    if has_lut:
+        tgt = jnp.where(lut >= 0, lut, P)
+        dvis = jnp.zeros(P + 1, jnp.int32).at[tgt].add(dvis)[:P]
+        dfnd = jnp.zeros(P + 1, jnp.int32).at[tgt].add(dfnd)[:P]
+    return (nvis + dvis, nfnd + dfnd, mp_pos[jnp.clip(pid, 0, None)])
+
+
 def _orthonormalize_np(R: np.ndarray) -> np.ndarray:
     """Host-side SO(3) projection (SVD) — the per-frame motion-model
     bookkeeping must not cost device round trips (see se3.orthonormalize
@@ -92,8 +111,6 @@ class Tracker:
     # host mirrors of slow-changing device arrays, keyed by array identity
     # (fetching kf_obs through the tunnel every selection costs a round
     # trip, and a dynamic [:n_kf] device slice would recompile per KF count)
-    _obs_mirror: Optional[tuple] = None
-    _mpvalid_mirror: Optional[tuple] = None
     # software pipeline (fused path): in-flight dispatched frames whose
     # host blobs have not been fetched yet, plus the device-resident chain
     # of "last frame" handles feeding the next dispatch (frame_step docs)
@@ -216,38 +233,41 @@ class Tracker:
         cur = self.slam_map.state
         new_map = res.smap
         nst = new_map.state
-        dvis = cur.mp_visible - res.snap_visible
-        dfnd = cur.mp_found - res.snap_found
-        if res.remap_lut is not None:
-            lut = jnp.asarray(res.remap_lut[:P])
-            tgt = jnp.where(lut >= 0, lut, P)
-            dvis = jnp.zeros(P + 1, jnp.int32).at[tgt].add(dvis)[:P]
-            dfnd = jnp.zeros(P + 1, jnp.int32).at[tgt].add(dfnd)[:P]
-        new_map.state = nst._replace(
-            mp_visible=nst.mp_visible + dvis,
-            mp_found=nst.mp_found + dfnd)
         old_state = cur
-        self.slam_map = new_map
-        self._sel_dirty = True
-        self._chain = None  # chained handles reference the pre-commit pools
         metrics["mapping"] = res.metrics
 
-        # remap + revalidate the in-flight per-slot associations
+        # remap + revalidate the in-flight per-slot associations (host)
         pid = self.last_assoc_pid
         if pid is not None:
             pid = np.asarray(pid)
             if res.remap_lut is not None:
                 pid = np.where(
                     pid >= 0, res.remap_lut[np.clip(pid, 0, None)], -1)
-            mp_valid = np.asarray(new_map.state.mp_valid)
+            mp_valid = new_map.mp_valid_np
             pid = np.where((pid >= 0) & mp_valid[np.clip(pid, 0, None)],
                            pid, -1).astype(np.int32)
+
+        # stat re-apply + association-position gather: ONE device program
+        # (the eager form cost ~11 dispatches per commit)
+        lut = res.remap_lut[:P] if res.remap_lut is not None else \
+            np.zeros(0, np.int32)
+        new_vis, new_fnd, assoc_pos = _commit_stats_jit(
+            nst.mp_visible, nst.mp_found, cur.mp_visible, cur.mp_found,
+            res.snap_visible, res.snap_found, jnp.asarray(lut),
+            nst.mp_pos,
+            pid if pid is not None else np.zeros(1, np.int32),
+            has_lut=res.remap_lut is not None)
+        new_map.state = nst._replace(mp_visible=new_vis, mp_found=new_fnd)
+        self.slam_map = new_map
+        self._sel_dirty = True
+        self._chain = None  # chained handles reference the pre-commit pools
+
+        if pid is not None:
             self.last_assoc_pid = pid
             self.last_assoc_valid = pid >= 0
-            self.last_assoc_pos = new_map.state.mp_pos[
-                jnp.clip(jnp.asarray(pid), 0, None)]
+            self.last_assoc_pos = assoc_pos
 
-        kf_valid = np.asarray(new_map.state.kf_valid)
+        kf_valid = new_map.kf_valid_np
         if self.ref_kf >= 0 and (self.ref_kf >= len(kf_valid)
                                  or not kf_valid[self.ref_kf]):
             self.ref_kf = res.kf
@@ -411,7 +431,7 @@ class Tracker:
         sl = fs.slice_frame(
             (out.xy, out.xy_und, out.response, out.angle, out.level,
              out.desc, out.kp_valid, out.inv_sigma2, out.sigma2),
-            jnp.int32(b))
+            np.int32(b))
         xy, xy_und, response, angle, level, desc, kp_valid, inv_s2, s2 = sl
         return frame_mod.FrameData(
             feats=FrameFeatures(xy=xy, response=response, angle=angle,
@@ -443,7 +463,7 @@ class Tracker:
             R_last=jnp.asarray(R_last), t_last=jnp.asarray(t_last),
             R_prev=jnp.asarray(R_prev, jnp.float32),
             t_prev=jnp.asarray(t_prev, jnp.float32),
-            lm=jnp.int32(self._prev_localmap_matches),
+            lm=np.int32(self._prev_localmap_matches),
             mp_visible=st.mp_visible, mp_found=st.mp_found,
             has_vel=has_vel)
 
@@ -872,13 +892,13 @@ class Tracker:
         kf0 = smap.add_keyframe(
             jnp.eye(3), jnp.zeros(3),
             f0.xy_und, f0.feats.level, f0.feats.angle, f0.feats.desc,
-            f0.feats.valid, jnp.asarray(obs0),
+            f0.feats.valid, np.asarray(obs0, np.int32),
             self.init_frame_id, self.init_timestamp, parent=-1,
         )
         kf1 = smap.add_keyframe(
             res.R, res.t,
             f1.xy_und, f1.feats.level, f1.feats.angle, f1.feats.desc,
-            f1.feats.valid, jnp.asarray(obs1),
+            f1.feats.valid, np.asarray(obs1, np.int32),
             self.frame_id, timestamp, parent=kf0,
         )
 
@@ -889,8 +909,8 @@ class Tracker:
         obs0[good] = ids[good]
         obs1h = np.full(N, -1, np.int32)
         obs1h[slots1] = ids[slots0]
-        smap.set_observations(kf0, jnp.arange(N), jnp.asarray(obs0))
-        smap.set_observations(kf1, jnp.arange(N), jnp.asarray(obs1h))
+        smap.set_observations(kf0, np.arange(N), np.asarray(obs0))
+        smap.set_observations(kf1, np.arange(N), np.asarray(obs1h))
 
         # init BA (20 iters, Tracking.cc:448)
         self.local_mapper.global_ba(smap)
@@ -898,7 +918,7 @@ class Tracker:
         # median-depth normalization (Tracking.cc:451-475)
         st = smap.state
         pos = np.asarray(st.mp_pos[: smap.n_mp])
-        valid = np.asarray(st.mp_valid[: smap.n_mp])
+        valid = smap.mp_valid_np[: smap.n_mp]
         R1 = np.asarray(st.kf_R[kf1])
         t1 = np.asarray(st.kf_t[kf1])
         z0 = pos[valid][:, 2]  # kf0 at identity: depth = z
@@ -912,6 +932,9 @@ class Tracker:
             mp_pos=st.mp_pos * scale,
             kf_t=st.kf_t.at[kf1].set(jnp.asarray(t1 * scale)),
         )
+        # mirror the normalization (f32 multiply is bitwise identical)
+        smap.host["mp_pos"] *= np.float32(scale)
+        smap.host["kf_t"][kf1] = (t1 * scale).astype(np.float32)
 
         # point stats (normals, distance bands, descriptors already set)
         self.local_mapper.refresh_point_stats(smap)
@@ -1132,7 +1155,7 @@ class Tracker:
 
         for cand in cands[:5]:
             cand = int(cand)
-            obs = np.asarray(st.kf_obs[cand])
+            obs = self.slam_map.obs_np[cand]
             if (obs >= 0).sum() < 15:
                 continue
             # frame keypoints (rows) vs candidate's landmarks (cols)
@@ -1267,19 +1290,13 @@ class Tracker:
         }
 
     def _host_kf_obs(self) -> np.ndarray:
-        # host mirror of kf_obs, refreshed only when the device array is a
-        # new object (mapping commit / keyframe insertion)
-        st = self.slam_map.state
-        if self._obs_mirror is None or self._obs_mirror[0] is not st.kf_obs:
-            self._obs_mirror = (st.kf_obs, np.asarray(st.kf_obs))
-        return self._obs_mirror[1]
+        # the SlamMap maintains its own authoritative host observation
+        # mirror (mapstore.SlamMap.obs_np) — zero device fetches here
+        return self.slam_map.obs_np
 
     def _host_mp_valid(self) -> np.ndarray:
-        st = self.slam_map.state
-        if (self._mpvalid_mirror is None
-                or self._mpvalid_mirror[0] is not st.mp_valid):
-            self._mpvalid_mirror = (st.mp_valid, np.asarray(st.mp_valid))
-        return self._mpvalid_mirror[1]
+        # maintained mirror (mapstore.SlamMap.mp_valid_np) — no fetch
+        return self.slam_map.mp_valid_np
 
     def _select_local_point_ids(self, cap: int,
                                 seed_pids: Optional[np.ndarray] = None
@@ -1346,7 +1363,7 @@ class Tracker:
         kf = smap.add_keyframe(
             self.last_R, self.last_t,
             fd.xy_und, fd.feats.level, fd.feats.angle, fd.feats.desc,
-            fd.feats.valid, jnp.asarray(pid_global),
+            fd.feats.valid, np.asarray(pid_global, np.int32),
             frame_id, timestamp, parent=self.ref_kf,
         )
         self.ref_kf = kf
@@ -1385,7 +1402,7 @@ class Tracker:
         st = smap.state
         self.last_R = st.kf_R[kf]
         self.last_t = st.kf_t[kf]
-        pid = np.asarray(st.kf_obs[kf])
+        pid = smap.obs_np[kf].copy()
         self.last_assoc_pid = pid
         self.last_assoc_valid = jnp.asarray(pid >= 0)
         self.last_assoc_pos = st.mp_pos[jnp.clip(jnp.asarray(pid), 0, None)]
@@ -1398,7 +1415,7 @@ class Tracker:
         smap = self.slam_map
         rows = []
         st = smap.state
-        kf_valid = np.asarray(st.kf_valid)
+        kf_valid = smap.kf_valid_np
         for k in range(smap.n_kf):
             if not kf_valid[k]:
                 continue  # culled KFs keep stale poses (main.cc:169 isBad skip)

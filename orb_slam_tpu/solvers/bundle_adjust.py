@@ -28,7 +28,7 @@ observations to erase (Optimizer.cc:496-521).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,9 @@ class BAResult(NamedTuple):
     points: jnp.ndarray      # [P, 3]
     edge_inliers: jnp.ndarray  # [O] bool (valid & chi2 below gate & z>0)
     cost: jnp.ndarray        # final robust cost
+    # f32 [9K + 3K + 3P + O] packed copy of (R, t, points, inliers), built
+    # in-program so the caller's write-back host work costs ONE fetch
+    host_blob: Optional[jnp.ndarray] = None
 
 
 def _edge_terms(Rs, ts, Xs, edges: BAEdges, cam: CameraParams):
@@ -286,12 +289,22 @@ def bundle_adjust(
     "cg" is the matrix-free preconditioned-CG path (city-scale global BA —
     the block grid at 32k points x 512 KFs would be ~1.2 GB/iteration);
     "auto" picks by block-grid footprint."""
-    delta2 = cfg.huber_delta2
-    lam = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
-    active = edges.valid.astype(Rs.dtype)
     if solver == "auto":
         grid_mb = Xs.shape[0] * Rs.shape[0] * 18 * 4 / 1e6
         solver = "cg" if grid_mb > 256.0 else "dense"
+    # the WHOLE schedule is one device program: the inter-phase chi2 gate
+    # and the final inlier mask used to run eagerly (~300 tiny dispatches
+    # per keyframe — each one a full round trip on latency-bound runtimes)
+    return _ba_jit(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
+                   two_phase=two_phase, solver=solver)
+
+
+@partial(jax.jit, static_argnames=("cfg", "two_phase", "solver"))
+def _ba_jit(Rs, ts, Xs, fixed, edges, cam, *, cfg: SolverConfig,
+            two_phase: bool, solver: str) -> BAResult:
+    delta2 = cfg.huber_delta2
+    lam = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
+    active = edges.valid.astype(Rs.dtype)
 
     if two_phase:
         Rs, ts, Xs, lam, _ = _lm_phase(
@@ -318,4 +331,8 @@ def bundle_adjust(
     r, _, _, z = _edge_terms(Rs, ts, Xs, edges, cam)
     c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
     inl = edges.valid & (c2 <= cfg.local_ba_chi2) & (z > 0)
-    return BAResult(R=Rs, t=ts, points=Xs, edge_inliers=inl, cost=cost)
+    blob = jnp.concatenate([
+        Rs.reshape(-1), ts.reshape(-1), Xs.reshape(-1),
+        inl.astype(jnp.float32)])
+    return BAResult(R=Rs, t=ts, points=Xs, edge_inliers=inl, cost=cost,
+                    host_blob=blob)

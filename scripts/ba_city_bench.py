@@ -1,0 +1,183 @@
+"""City-scale BA benchmark on the real chip (VERDICT r2 item 6).
+
+Measures bundle-adjust ms/LM-iteration for the dense-Schur and matrix-free
+CG solvers at local-BA scale (64 KF x 8k pts) and city scale
+(256 KF x 16k pts), with an XLA device-trace capture for the large case and
+a speed-of-light estimate from the dominant contraction's FLOPs
+(BASELINE.md "BA ms/iter" row).
+
+The problem is a rendered ring world (keyframes on a circle observing an
+annulus of landmarks) with Gaussian noise on points and poses, so the LM
+iterations do real work.  Timing methodology per memory note
+axon-tpu-environment: vary inputs, time steady-state calls after a warmup
+compile of each iteration bucket; ms/iter comes from the difference of two
+bucket sizes, which cancels the relay's fixed per-call cost (reported too).
+
+Usage:
+    python scripts/ba_city_bench.py --out BA_CITY_r03.json   (on the TPU)
+    python scripts/ba_city_bench.py --cpu                    (methodology test)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def make_problem(rng, K, P, obs_per_pt=6, noise=0.02):
+    """Ring world matching the endurance run's geometry: keyframes on a
+    radius-3 circle around (3,0,0), landmarks in an annulus around it."""
+    from orb_slam_tpu.solvers.bundle_adjust import BAEdges
+    center = np.array([3.0, 0.0, 0.0], np.float32)
+    th_k = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    C = np.stack([3 * (1 - np.cos(th_k)), np.zeros(K), 3 * np.sin(th_k)],
+                 1).astype(np.float32)
+    Rs, ts = [], []
+    for k in range(K):
+        tangent = np.array([np.sin(th_k[k]), 0, np.cos(th_k[k])], np.float32)
+        to_c = center - C[k]
+        to_c = to_c / max(np.linalg.norm(to_c), 1e-6)
+        f = tangent + 0.8 * to_c
+        f /= np.linalg.norm(f)
+        d = np.array([0.0, 1.0, 0.0], np.float32)
+        r = np.cross(d, f); r /= np.linalg.norm(r)
+        Rc2w = np.stack([r, d, f], 1).astype(np.float32)
+        R = Rc2w.T
+        Rs.append(R)
+        ts.append(-R @ C[k])
+    Rs = np.stack(Rs); ts = np.stack(ts)
+
+    th_p = rng.uniform(0, 2 * np.pi, P)
+    r_p = np.sqrt(rng.uniform(4.0, 36.0, P))
+    X = np.stack([center[0] + r_p * np.sin(th_p), rng.uniform(-2, 2, P),
+                  center[2] + r_p * np.cos(th_p)], 1).astype(np.float32)
+
+    # observations: for each point, the obs_per_pt keyframes where its
+    # projection lands in-image with positive depth
+    fx = fy = 500.0; cx, cy = 320.0, 240.0
+    xc_all = np.einsum("kij,pj->pki", Rs, X) + ts[None, :, :]   # [P,K,3]
+    z_all = xc_all[:, :, 2]
+    u_all = fx * xc_all[:, :, 0] / np.maximum(z_all, 1e-6) + cx
+    v_all = fy * xc_all[:, :, 1] / np.maximum(z_all, 1e-6) + cy
+    vis = (z_all > 0.5) & (u_all > 0) & (u_all < 640) \
+        & (v_all > 0) & (v_all < 480)
+    # pick obs_per_pt visible keyframes per point (rank visible first)
+    order = np.argsort(~vis, axis=1, kind="stable")[:, :obs_per_pt]
+    rowsel = np.arange(P)[:, None]
+    cam_idx = order.reshape(-1).astype(np.int32)
+    pt_idx = np.repeat(np.arange(P), obs_per_pt).astype(np.int32)
+    valid = vis[rowsel, order].reshape(-1)
+    uv = np.stack([u_all[rowsel, order].reshape(-1),
+                   v_all[rowsel, order].reshape(-1)], 1)
+    uv = uv + rng.normal(0, 0.5, uv.shape)   # pixel noise -> nonzero cost
+
+    edges = BAEdges(
+        cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv.astype(np.float32)),
+        inv_sigma2=jnp.ones(len(cam_idx), jnp.float32),
+        valid=jnp.asarray(valid))
+    Xn = X + rng.normal(0, noise, X.shape).astype(np.float32)
+    tn = ts + rng.normal(0, noise, ts.shape).astype(np.float32)
+    fixed = np.zeros(K, bool); fixed[0] = True
+    from orb_slam_tpu.geometry.camera import make_camera
+    from orb_slam_tpu.config import CameraConfig
+    cam = make_camera(CameraConfig(
+        fx=fx, fy=fy, cx=cx, cy=cy, k1=0, k2=0, p1=0, p2=0, k3=0,
+        width=640, height=480))
+    return (jnp.asarray(Rs), jnp.asarray(tn), jnp.asarray(Xn),
+            jnp.asarray(fixed), edges, cam, int(valid.sum()))
+
+
+def time_case(K, P, solver, reps=3, seed=0, i_lo=4, i_hi=14):
+    """ms/LM-iteration via two warmed iteration buckets: the difference
+    (t_hi - t_lo) / (i_hi - i_lo) cancels the fixed per-call relay cost,
+    which is also reported (t_lo at warmed steady state)."""
+    from orb_slam_tpu.solvers import bundle_adjust as ba
+    from orb_slam_tpu.config import SolverConfig
+    rng = np.random.default_rng(seed)
+
+    def run(iters):
+        Rs, ts, Xs, fixed, edges, cam, n_obs = make_problem(rng, K, P)
+        cfg = SolverConfig(global_ba_iters=iters)
+        t0 = time.perf_counter()
+        res = ba.bundle_adjust(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
+                               two_phase=False, solver=solver)
+        jax.block_until_ready(res.points)
+        return time.perf_counter() - t0, res, n_obs
+
+    run(i_lo); run(i_hi)                     # compile both buckets
+    lo = [run(i_lo) for _ in range(reps)]
+    hi = [run(i_hi) for _ in range(reps)]
+    t_lo = min(r[0] for r in lo)
+    t_hi = min(r[0] for r in hi)
+    res, n_obs = hi[-1][1], hi[-1][2]
+    return dict(K=K, P=P, n_obs=n_obs, solver=solver,
+                iters=(i_lo, i_hi),
+                wall_lo_s=round(t_lo, 3), wall_hi_s=round(t_hi, 3),
+                ms_per_iter=round((t_hi - t_lo) / (i_hi - i_lo) * 1e3, 3),
+                per_call_floor_s=round(t_lo, 3),
+                final_cost=float(res.cost))
+
+
+def speed_of_light(K, P, obs_per_pt=6):
+    """Dominant FLOPs per dense LM iteration: the [P,K,6,3] Schur grid
+    einsums (~2 * P*K*6*3*3 * 2 contractions) vs v5e bf16/f32 peak."""
+    flops = 4.0 * P * K * 6 * 3 * 3 * 2
+    v5e_f32 = 98e12 / 2   # f32 ~half of bf16 peak on v5e MXU
+    return flops / v5e_f32 * 1e3   # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--trace-dir", default="/tmp/ba_city_trace")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0]),
+               "iters": args.iters, "cases": []}
+    for (K, P) in ((64, 8192), (256, 16384)):
+        for solver in ("dense", "cg"):
+            if solver == "dense" and K * P > 64 * 8192 and args.cpu:
+                continue   # 1.2 GB grid, pointless on CPU
+            r = time_case(K, P, solver)
+            r["speed_of_light_ms_dense_grid"] = round(speed_of_light(K, P), 3)
+            results["cases"].append(r)
+            print(json.dumps(r), flush=True)
+
+    # device trace of the large CG case (honest on-device time per op)
+    try:
+        from orb_slam_tpu.utils.profiling import device_trace, top_ops
+        from orb_slam_tpu.solvers import bundle_adjust as ba
+        from orb_slam_tpu.config import SolverConfig
+        rng = np.random.default_rng(7)
+        Rs, ts, Xs, fixed, edges, cam, _ = make_problem(rng, 256, 16384)
+        cfg = SolverConfig(global_ba_iters=args.iters)
+        with device_trace(args.trace_dir):
+            res = ba.bundle_adjust(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
+                                   two_phase=False, solver="cg")
+            jax.block_until_ready(res.points)
+        results["top_ops_ms"] = [
+            [round(d, 2), n] for d, n in top_ops(args.trace_dir)[:12]]
+    except Exception as e:  # tracing is best-effort
+        results["trace_error"] = repr(e)
+
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

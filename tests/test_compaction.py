@@ -34,6 +34,7 @@ def test_compaction_packs_and_remaps():
     dead = ids[::2]
     smap.state = st._replace(
         mp_valid=st.mp_valid.at[jnp.asarray(dead)].set(False))
+    smap.mp_valid_np[np.asarray(dead)] = False
     freed = smap.compact_points()
     assert freed == 10
     assert smap.n_mp == 10
@@ -54,6 +55,7 @@ def test_add_points_triggers_compaction():
     st = smap.state
     smap.state = st._replace(
         mp_valid=st.mp_valid.at[jnp.asarray(ids[:15])].set(False))
+    smap.mp_valid_np[np.asarray(ids[:15])] = False
     rng = np.random.default_rng(1)
     # 12 new points only fit after compacting the 15 dead rows
     new_ids = smap.add_points(
@@ -112,6 +114,7 @@ def test_keyframe_compaction_packs_and_remaps():
     st = smap.state
     smap.state = st._replace(
         kf_valid=st.kf_valid.at[jnp.asarray([ks[2], ks[3]])].set(False))
+    smap.kf_valid_np[[ks[2], ks[3]]] = False
     # re-parent k4 to k1 like the eraser would
     smap.parent[ks[4]] = ks[1]
 
@@ -161,6 +164,7 @@ def test_keyframe_pool_full_compacts_on_insert():
         add_kf()
     st = smap.state
     smap.state = st._replace(kf_valid=st.kf_valid.at[1].set(False))
+    smap.kf_valid_np[1] = False
     k = add_kf()  # would raise without compaction
     assert k == 3
     assert smap.n_kf == 4
@@ -200,6 +204,7 @@ def test_keyframe_pool_grows_when_all_live():
     # growth composes with compaction: free a slot, fill up again
     st = smap.state
     smap.state = st._replace(kf_valid=st.kf_valid.at[0].set(False))
+    smap.kf_valid_np[0] = False
     for _ in range(3):
         add_kf()
     assert smap.n_kf == 8 and smap.cfg.max_keyframes == 8
@@ -217,3 +222,68 @@ def test_database_grows_with_pool():
     g = db.grown(8)
     assert g.ids.shape == (8, 8) and g.has_row[2] and not g.has_row[4:].any()
     assert g.grown(8) is g
+
+
+def test_obs_mirror_stays_consistent():
+    """SlamMap.obs_np is the authoritative host mirror of state.kf_obs —
+    every mutator (insert, set_observations*, compaction, growth) must keep
+    the two bitwise equal (keyframe-rate logic reads the mirror instead of
+    re-fetching the device array)."""
+    cfg = MapConfig(max_keyframes=4, max_points=32)
+    n = 8
+    smap = mapstore.SlamMap.create(cfg, n_slots=n)
+    rng = np.random.default_rng(3)
+
+    def check():
+        np.testing.assert_array_equal(
+            np.asarray(smap.state.kf_obs), smap.obs_np)
+        np.testing.assert_array_equal(
+            np.asarray(smap.state.kf_valid), smap.kf_valid_np)
+        np.testing.assert_array_equal(
+            np.asarray(smap.state.mp_valid), smap.mp_valid_np)
+
+    def add_kf(obs):
+        return smap.add_keyframe(
+            jnp.eye(3), jnp.zeros(3),
+            jnp.asarray(rng.uniform(0, 100, (n, 2)).astype(np.float32)),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n),
+            jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32)),
+            jnp.ones(n, bool), np.asarray(obs, np.int32),
+            frame_id=smap.n_kf, timestamp=0.0)
+
+    k0 = add_kf(np.full(n, -1)); check()
+    ids = smap.add_points(
+        jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32)),
+        jnp.zeros((n, 3)), jnp.zeros(n), jnp.full(n, np.inf),
+        k0, np.ones(n, bool))
+    smap.set_observations(k0, np.arange(n), np.asarray(ids)); check()
+    k1 = add_kf(ids); check()
+    smap.set_observations_multi(
+        np.full(4, k1, np.int32), np.arange(4, dtype=np.int32),
+        np.asarray(ids[:4], np.int32)); check()
+    # point compaction remaps the mirror through the same LUT
+    st = smap.state
+    smap.state = st._replace(mp_valid=st.mp_valid.at[ids[0]].set(False))
+    smap.mp_valid_np[ids[0]] = False
+    smap.compact_points(); check()
+    # keyframe compaction packs the mirror
+    st = smap.state
+    smap.state = st._replace(kf_valid=st.kf_valid.at[k0].set(False))
+    smap.kf_valid_np[k0] = False
+    smap.compact_keyframes(); check()
+    # growth pads it
+    smap.grow_keyframes(); check()
+    assert smap.obs_np.shape[0] == smap.state.kf_obs.shape[0]
+
+
+def test_refresh_host_mirrors_stay_writable():
+    """refresh_host (loop-rate re-fetch) must store WRITABLE copies: the
+    next keyframe insertion patches mirror rows in place (np.asarray of a
+    device array is read-only — caught by the endurance drive)."""
+    cfg = MapConfig(max_keyframes=4, max_points=16)
+    smap = mapstore.SlamMap.create(cfg, n_slots=4)
+    smap.refresh_host()
+    for name, arr in smap.host.items():
+        assert arr.flags.writeable, name
+    smap.host["kf_R"][0] = np.eye(3)  # must not raise

@@ -87,3 +87,18 @@ def test_trajectory_roundtrip(tmp_path, tracked_run):
         tracker.slam_map.state.kf_valid[: tracker.slam_map.n_kf]).sum())
     assert loaded.shape[0] == n_valid
     assert loaded.shape[1] == 8
+
+
+def test_obs_mirror_consistent_after_run(tracked_run):
+    """After a full tracked run (insertions, triangulation, fuse, BA
+    write-back, culling), the maintained host observation mirror must
+    equal the device table bitwise (mapstore.SlamMap.obs_np)."""
+    smap = tracked_run["tracker"].slam_map
+    np.testing.assert_array_equal(np.asarray(smap.state.kf_obs), smap.obs_np)
+    np.testing.assert_array_equal(
+        np.asarray(smap.state.kf_valid), smap.kf_valid_np)
+    np.testing.assert_array_equal(
+        np.asarray(smap.state.mp_valid), smap.mp_valid_np)
+    for name, arr in smap.host.items():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(smap.state, name)), arr, err_msg=name)
