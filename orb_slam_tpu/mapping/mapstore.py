@@ -170,7 +170,11 @@ class SlamMap:
     # ------------------------------------------------------------------
 
     def add_keyframe(self, R, t, xy, level, angle, desc, kp_valid, obs,
-                     frame_id: int, timestamp: float, parent: int = -1) -> int:
+                     frame_id: int, timestamp: float, parent: int = -1,
+                     batch_index: Optional[int] = None) -> int:
+        """Insert a keyframe row.  With batch_index set, the feature
+        arguments are STACKED frame_step_scan outputs and row batch_index
+        is sliced in-program (no separate materialization dispatch)."""
         if self.n_kf >= self.cfg.max_keyframes:
             self.compact_keyframes()
         if self.n_kf >= self.cfg.max_keyframes:
@@ -180,17 +184,23 @@ class SlamMap:
             # log2(K_final) compile buckets total, ids stable (no remap).
             self.grow_keyframes()
         k = self.n_kf
-        # one fused program (k traced -> no recompile per slot); this is on
-        # the keyframe-insertion critical path of the tracking thread
-        self.state = _insert_keyframe_jit(
-            self.state, np.int32(k), R, t, xy, level, angle, desc, kp_valid, obs)
+        # one fused program (k traced -> no recompile per slot) that ALSO
+        # returns the packed row blob, so insertion costs one dispatch +
+        # one fetch total; this is on the keyframe-insertion critical path
+        if batch_index is not None:
+            blob_d, self.state = _insert_keyframe_batch_jit(
+                self.state, np.int32(k), R, t, xy, level, angle, desc,
+                kp_valid, obs, np.int32(batch_index))
+        else:
+            blob_d, self.state = _insert_keyframe_jit(
+                self.state, np.int32(k), R, t, xy, level, angle, desc,
+                kp_valid, obs)
         self.parent[k] = parent
         self.obs_np[k] = np.asarray(obs)
         self.kf_valid_np[k] = True
-        # ONE packed row fetch refreshes every host mirror for this row
-        # (the argument arrays may be device-resident slices)
+        # the returned packed row blob refreshes every host mirror row
         N = self.state.kf_xy.shape[1]
-        blob = np.asarray(_kf_row_fetch_jit(self.state, np.int32(k)))
+        blob = np.asarray(blob_d)
         h = self.host
         h["kf_R"][k] = blob[:9].reshape(3, 3)
         h["kf_t"][k] = blob[9:12]
@@ -579,24 +589,38 @@ def _add_points_from_kf_jit(s: MapState, dev_ids, m, pos, kf) -> MapState:
 
 
 @jax.jit
-def _kf_row_fetch_jit(s: MapState, k) -> jnp.ndarray:
+def _row_blob(R, t, xy, level, desc, kp_valid) -> jnp.ndarray:
     """One keyframe row as a single f32 blob: [9 R][3 t][2N xy][N level]
     [8N desc bitcast f32][N kp_valid] — the insert-time mirror refresh and
-    the loop closer's BoW inputs in ONE round trip."""
-    desc_f = jax.lax.bitcast_convert_type(s.kf_desc[k], jnp.float32)
+    the loop closer's BoW inputs in ONE round trip (returned BY the insert
+    program, so insertion is one dispatch + one fetch total)."""
+    desc_f = jax.lax.bitcast_convert_type(
+        jnp.asarray(desc, jnp.uint32), jnp.float32)
     return jnp.concatenate([
-        s.kf_R[k].reshape(-1), s.kf_t[k],
-        s.kf_xy[k].reshape(-1),
-        s.kf_level[k].astype(jnp.float32),
+        jnp.asarray(R, jnp.float32).reshape(-1),
+        jnp.asarray(t, jnp.float32).reshape(-1),
+        jnp.asarray(xy, jnp.float32).reshape(-1),
+        jnp.asarray(level).astype(jnp.float32),
         desc_f.reshape(-1),
-        s.kf_kp_valid[k].astype(jnp.float32),
+        jnp.asarray(kp_valid).astype(jnp.float32),
     ])
 
 
 @jax.jit
+def _insert_keyframe_batch_jit(s: MapState, k, R, t, xy_s, level_s, angle_s,
+                               desc_s, kp_valid_s, obs, b):
+    """Insert from STACKED batch outputs (frame_step_scan row b) — the
+    slice happens in-program, so keyframe creation from a tracked batch
+    needs no separate slice_frame dispatch."""
+    return _insert_keyframe_jit(s, k, R, t, xy_s[b], level_s[b], angle_s[b],
+                                desc_s[b], kp_valid_s[b], obs)
+
+
+@jax.jit
 def _insert_keyframe_jit(s: MapState, k, R, t, xy, level, angle, desc,
-                         kp_valid, obs) -> MapState:
-    return s._replace(
+                         kp_valid, obs):
+    blob = _row_blob(R, t, xy, level, desc, kp_valid)
+    return blob, s._replace(
         kf_valid=s.kf_valid.at[k].set(True),
         kf_R=s.kf_R.at[k].set(R),
         kf_t=s.kf_t.at[k].set(t),

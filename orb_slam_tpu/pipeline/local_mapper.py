@@ -98,9 +98,16 @@ class LocalMapper:
         with _timer.stage("mapping", "fuse"):
             metrics["fused"] = self.fuse_neighbors(smap, kf)
         with _timer.stage("mapping", "pointStats"):
-            self.refresh_point_stats(smap)
-        with _timer.stage("mapping", "updateDescriptors"):
-            self.update_descriptors(smap, kf)
+            # post-fuse stats + medoid descriptors in ONE program
+            st = smap.state
+            normal, min_d, max_d, new_desc = mk.point_stats_and_medoid(
+                st.kf_obs, st.kf_R, st.kf_t, st.kf_level, st.kf_valid,
+                st.mp_pos, st.mp_valid, st.mp_ref_kf, st.kf_desc,
+                st.mp_desc, np.int32(kf),
+                n_levels=self.cfg.extractor.n_levels,
+                scale_factor=self.cfg.extractor.scale_factor)
+            smap.state = st._replace(mp_normal=normal, mp_min_dist=min_d,
+                                     mp_max_dist=max_d, mp_desc=new_desc)
         with _timer.stage("mapping", "localBA"):
             self.local_ba(smap, kf)
         with _timer.stage("mapping", "cullKeyframes"):

@@ -341,6 +341,23 @@ def triangulate_multi(
         X=X_win, ok=any_ok, slot2=slot2_win, nb_of=nb_win, blob=blob)
 
 
+@partial(jax.jit, static_argnames=("n_levels", "scale_factor", "max_obs",
+                                   "cap"))
+def point_stats_and_medoid(kf_obs, kf_R, kf_t, kf_level, kf_valid,
+                           mp_pos, mp_valid, mp_ref_kf, kf_desc, mp_desc,
+                           kf_row, *, n_levels: int, scale_factor: float,
+                           max_obs: int = 8, cap: int = 2048):
+    """point_stats + refresh_medoid_descriptors fused into ONE program —
+    they run back-to-back at keyframe rate and each dispatch is a full
+    round trip on latency-bound runtimes."""
+    normal, min_d, max_d = point_stats(
+        kf_obs, kf_R, kf_t, kf_level, kf_valid, mp_pos, mp_valid, mp_ref_kf,
+        n_levels=n_levels, scale_factor=scale_factor)
+    new_desc = refresh_medoid_descriptors(
+        kf_obs, kf_desc, mp_desc, kf_row, max_obs=max_obs, cap=cap)
+    return normal, min_d, max_d, new_desc
+
+
 @jax.jit
 def fuse_into_keyframe_tables_multi(
     kf_xy, kf_desc, kf_level, kf_kp_valid, kf_R, kf_t,

@@ -597,9 +597,11 @@ class Tracker:
                     if n_inl < 2 * tcfg.kf_min_tracked:
                         self._force_kf = True
                 else:
-                    fd = self._materialize_frame(out, b)
-                    self._create_keyframe(fd, timestamp, pid_global, metrics,
-                                          frame_id=fid)
+                    # stacked insertion: the batch-row slice happens inside
+                    # the insert program (no slice_frame dispatch)
+                    self._create_keyframe(None, timestamp, pid_global,
+                                          metrics, frame_id=fid,
+                                          stacked=(out, b))
 
         # the newest frame's features stay stacked until someone needs them
         self.last_frame = None
@@ -1338,7 +1340,7 @@ class Tracker:
         )
 
     def _create_keyframe(self, fd, timestamp, pid_global, metrics,
-                         frame_id: Optional[int] = None):
+                         frame_id: Optional[int] = None, stacked=None):
         if frame_id is None:
             frame_id = self.frame_id
         smap = self.slam_map
@@ -1360,12 +1362,21 @@ class Tracker:
                     self.loop_closer.remap_keyframes(lut)
                 metrics["kf_compaction_freed"] = freed
 
-        kf = smap.add_keyframe(
-            self.last_R, self.last_t,
-            fd.xy_und, fd.feats.level, fd.feats.angle, fd.feats.desc,
-            fd.feats.valid, np.asarray(pid_global, np.int32),
-            frame_id, timestamp, parent=self.ref_kf,
-        )
+        if stacked is not None:
+            out, b = stacked
+            kf = smap.add_keyframe(
+                self.last_R, self.last_t,
+                out.xy_und, out.level, out.angle, out.desc, out.kp_valid,
+                np.asarray(pid_global, np.int32),
+                frame_id, timestamp, parent=self.ref_kf, batch_index=b,
+            )
+        else:
+            kf = smap.add_keyframe(
+                self.last_R, self.last_t,
+                fd.xy_und, fd.feats.level, fd.feats.angle, fd.feats.desc,
+                fd.feats.valid, np.asarray(pid_global, np.int32),
+                frame_id, timestamp, parent=self.ref_kf,
+            )
         self.ref_kf = kf
         self.n_ref_tracked = int((pid_global >= 0).sum())
         self.last_kf_frame_id = frame_id
