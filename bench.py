@@ -17,6 +17,7 @@ Baseline: the reference's real-time operating point is its camera rate —
 BASELINE.json targets >=3x that per chip.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -141,7 +142,9 @@ def main():
         # frame_batch amortizes the runtime's fixed per-dispatch cost
         # (25+ ms/call on the tunneled TPU once any host readback happened)
         # across 12 frames: 1 scan dispatch + 1 blob fetch per batch
-        tracker=TrackerConfig(async_mapping=True, frame_batch=12),
+        tracker=TrackerConfig(
+            async_mapping=True,
+            frame_batch=int(os.environ.get("ORB_SLAM_TPU_FRAME_BATCH", 12))),
     )
     system = System.create(cfg)
     K = cfg.camera.K
