@@ -660,8 +660,13 @@ class LocalMapper:
         p = int(smap.parent[k])
         W = None
         if children:
-            W = np.stack([self._covis_row_np(smap, c)
-                          for c in range(smap.n_kf)])
+            # full [K,K] covisibility in one sparse native pass (stacking
+            # per-row host reductions here was O(K^2 N) per erasure)
+            W = mapstore.connected_weights(
+                native.covisibility_counts(
+                    smap.obs_np, smap.kf_valid_np,
+                    self.cfg.map.max_points).astype(np.int64),
+                self.cfg.loop.covisibility_weight_min)
 
         st = smap.state
         smap.state = _erase_kf_jit(st, np.int32(k))
