@@ -53,5 +53,6 @@ def load_map(path: str, cfg: MapConfig) -> SlamMap:
         mp_valid_np=np.array(data["state_mp_valid"], bool, copy=True),
         host={name: np.array(data[f"state_{name}"], copy=True)
               for name in ("kf_R", "kf_t", "kf_xy", "kf_level", "kf_desc",
-                           "kf_kp_valid", "mp_pos")},
+                           "kf_kp_valid", "mp_pos", "mp_first_kf",
+                           "mp_found", "mp_visible")},
     )

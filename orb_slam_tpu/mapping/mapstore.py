@@ -138,6 +138,10 @@ class SlamMap:
                 kf_kp_valid=np.zeros((K, N), bool),
                 mp_pos=np.zeros((P, 3), np.float32),
                 mp_first_kf=np.full(P, -1, np.int32),
+                # insert-time snapshots of the tracking counters (refreshed
+                # by every keyframe insertion's blob; exact at KF time)
+                mp_found=np.ones(P, np.int32),
+                mp_visible=np.ones(P, np.int32),
             ),
         )
 
@@ -210,6 +214,10 @@ class SlamMap:
         h["kf_desc"][k] = blob[o:o + 8 * N].view(np.uint32).reshape(N, 8)
         o += 8 * N
         h["kf_kp_valid"][k] = blob[o:o + N] != 0
+        o += N
+        P = self.cfg.max_points
+        h["mp_found"] = blob[o:o + P].astype(np.int32); o += P
+        h["mp_visible"] = blob[o:o + P].astype(np.int32)
         self.kf_frame_id[k] = frame_id
         self.kf_timestamp[k] = timestamp
         self.n_kf += 1
@@ -311,6 +319,9 @@ class SlamMap:
         self.host["mp_first_kf"] = np.concatenate(
             [self.host["mp_first_kf"][live],
              np.full(P - n_live, -1, np.int32)])
+        for name in ("mp_found", "mp_visible"):
+            self.host[name] = np.concatenate(
+                [self.host[name][live], np.ones(P - n_live, np.int32)])
 
         sel = jnp.asarray(live)
 
@@ -619,7 +630,12 @@ def _insert_keyframe_batch_jit(s: MapState, k, R, t, xy_s, level_s, angle_s,
 @jax.jit
 def _insert_keyframe_jit(s: MapState, k, R, t, xy, level, angle, desc,
                          kp_valid, obs):
-    blob = _row_blob(R, t, xy, level, desc, kp_valid)
+    # the blob also carries the landmark found/visible counters (exact in
+    # f32 below 2^24): point culling needs their insert-time values, and
+    # riding the insert fetch saves two keyframe-rate round trips
+    blob = jnp.concatenate([
+        _row_blob(R, t, xy, level, desc, kp_valid),
+        s.mp_found.astype(jnp.float32), s.mp_visible.astype(jnp.float32)])
     return blob, s._replace(
         kf_valid=s.kf_valid.at[k].set(True),
         kf_R=s.kf_R.at[k].set(R),

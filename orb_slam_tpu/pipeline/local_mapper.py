@@ -701,8 +701,8 @@ class LocalMapper:
         P = self.cfg.map.max_points
         obs_m = smap.obs_np
         counts = np.bincount(obs_m[obs_m >= 0], minlength=P)
-        found = self._m(st.mp_found, "mp_found")
-        visible = self._m(st.mp_visible, "mp_visible")
+        found = smap.host["mp_found"]
+        visible = smap.host["mp_visible"]
         first = smap.host["mp_first_kf"]
         valid = smap.mp_valid_np
 

@@ -100,5 +100,8 @@ def test_obs_mirror_consistent_after_run(tracked_run):
     np.testing.assert_array_equal(
         np.asarray(smap.state.mp_valid), smap.mp_valid_np)
     for name, arr in smap.host.items():
+        if name in ("mp_found", "mp_visible"):
+            continue   # insert-time snapshots by design (tracking updates
+            #            them per batch; culling reads keyframe-time values)
         np.testing.assert_array_equal(
             np.asarray(getattr(smap.state, name)), arr, err_msg=name)
