@@ -183,6 +183,14 @@ class SolverConfig:
     sim3_prob: float = 0.99
     sim3_min_inliers: int = 20
     sim3_max_iters: int = 300
+    # f32 conditioning for city-scale worlds: similarity-normalize the
+    # world (centroid shift + median-radius scale) inside the BA program.
+    # Reprojection is invariant to a world similarity applied to both
+    # poses and points, so pixel-space semantics (residuals, Huber, chi2
+    # gates) are EXACT — only the f32 representation of coordinates
+    # improves (relative instead of absolute rounding).  g2o runs f64 and
+    # needs no such option (SURVEY aux: f32-first design).
+    ba_normalize_world: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -306,6 +306,25 @@ def _ba_jit(Rs, ts, Xs, fixed, edges, cam, *, cfg: SolverConfig,
     lam = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
     active = edges.valid.astype(Rs.dtype)
 
+    if cfg.ba_normalize_world:
+        # similarity-normalize the world for f32 conditioning: X' = s(X-c),
+        # t' = s(t + R c).  Camera-frame coords scale uniformly (x' = s x),
+        # so projections — hence residuals, Huber weights, chi2 gates — are
+        # bitwise-level invariant; only coordinate rounding improves.
+        # add-scatter formulation (non-add scatters demote the relay fast
+        # path, see ops/scatter.py)
+        P_n = Xs.shape[0]
+        hits = jnp.zeros(P_n + 1, jnp.int32).at[
+            jnp.where(edges.valid, edges.pt_idx, P_n)].add(1)[:P_n]
+        seen_f = (hits > 0).astype(Xs.dtype)
+        n_seen = jnp.maximum(seen_f.sum(), 1.0)
+        c = jnp.sum(Xs * seen_f[:, None], axis=0) / n_seen
+        rad = jnp.linalg.norm(Xs - c, axis=1)
+        scale = 1.0 / jnp.maximum(
+            jnp.sum(rad * seen_f) / n_seen, 1e-6)     # mean radius -> O(1)
+        Xs = (Xs - c) * scale
+        ts = (ts + jnp.einsum("kij,j->ki", Rs, c)) * scale
+
     if two_phase:
         Rs, ts, Xs, lam, _ = _lm_phase(
             Rs, ts, Xs, fixed, edges, cam, lam, active,
@@ -331,6 +350,12 @@ def _ba_jit(Rs, ts, Xs, fixed, edges, cam, *, cfg: SolverConfig,
     r, _, _, z = _edge_terms(Rs, ts, Xs, edges, cam)
     c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
     inl = edges.valid & (c2 <= cfg.local_ba_chi2) & (z > 0)
+
+    if cfg.ba_normalize_world:
+        # undo the similarity so callers see original-world coordinates
+        Xs = Xs / scale + c
+        ts = ts / scale - jnp.einsum("kij,j->ki", Rs, c)
+
     blob = jnp.concatenate([
         Rs.reshape(-1), ts.reshape(-1), Xs.reshape(-1),
         inl.astype(jnp.float32)])

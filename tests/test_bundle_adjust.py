@@ -207,3 +207,41 @@ def test_cg_solver_city_scale_smoke(rng):
     print(f"city-scale CG BA: {rmse0:.2f} -> {rmse1:.2f} px, "
           f"{dt:.1f}s for 2 iters")
     assert rmse1 < rmse0 * 0.7
+
+
+def test_normalized_world_matches_plain(rng):
+    """ba_normalize_world applies a world similarity inside the program and
+    undoes it after: projections are similarity-invariant, so on a
+    well-conditioned problem the solve must agree with the plain one."""
+    import dataclasses
+    p = build_problem(rng)
+    cfg_n = dataclasses.replace(SolverConfig(), ba_normalize_world=True)
+    r_plain = ba.bundle_adjust(p["Rs0"], p["ts0"], p["X0"], p["fixed"],
+                               p["edges"], p["cam"])
+    r_norm = ba.bundle_adjust(p["Rs0"], p["ts0"], p["X0"], p["fixed"],
+                              p["edges"], p["cam"], cfg=cfg_n)
+    rmse_p, _ = reproj_rmse(r_plain.R, r_plain.t, r_plain.points,
+                            p["edges"], p["cam"])
+    rmse_n, _ = reproj_rmse(r_norm.R, r_norm.t, r_norm.points,
+                            p["edges"], p["cam"])
+    assert rmse_n < rmse_p * 1.2 + 0.05, (rmse_n, rmse_p)
+    np.testing.assert_allclose(np.asarray(r_norm.t), np.asarray(r_plain.t),
+                               atol=5e-2)
+
+
+def test_normalized_world_survives_far_offset(rng):
+    """City-scale conditioning: shift the whole world 4 km from the origin
+    (poses consistent) — the normalized solve must still converge to
+    sub-pixel reprojection in f32, which is the option's purpose."""
+    import dataclasses
+    p = build_problem(rng)
+    off = np.array([4000.0, 0.0, 2000.0], np.float32)
+    X0 = p["X0"] + off
+    ts0 = p["ts0"] - np.einsum("kij,j->ki", np.asarray(p["Rs0"]), off)
+    cfg_n = dataclasses.replace(SolverConfig(), ba_normalize_world=True)
+    r_norm = ba.bundle_adjust(
+        jnp.asarray(p["Rs0"]), jnp.asarray(ts0), jnp.asarray(X0),
+        p["fixed"], p["edges"], p["cam"], cfg=cfg_n)
+    rmse_n, _ = reproj_rmse(r_norm.R, r_norm.t, r_norm.points,
+                            p["edges"], p["cam"])
+    assert rmse_n < 1.0, rmse_n
