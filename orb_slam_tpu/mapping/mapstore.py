@@ -206,18 +206,19 @@ class SlamMap:
         N = self.state.kf_xy.shape[1]
         blob = np.asarray(blob_d)
         h = self.host
-        h["kf_R"][k] = blob[:9].reshape(3, 3)
-        h["kf_t"][k] = blob[9:12]
+        h["kf_R"][k] = blob[:9].view(np.float32).reshape(3, 3)
+        h["kf_t"][k] = blob[9:12].view(np.float32)
         o = 12
-        h["kf_xy"][k] = blob[o:o + 2 * N].reshape(N, 2); o += 2 * N
-        h["kf_level"][k] = blob[o:o + N].astype(np.int32); o += N
+        h["kf_xy"][k] = blob[o:o + 2 * N].view(np.float32).reshape(N, 2)
+        o += 2 * N
+        h["kf_level"][k] = blob[o:o + N]; o += N
         h["kf_desc"][k] = blob[o:o + 8 * N].view(np.uint32).reshape(N, 8)
         o += 8 * N
         h["kf_kp_valid"][k] = blob[o:o + N] != 0
         o += N
         P = self.cfg.max_points
-        h["mp_found"] = blob[o:o + P].astype(np.int32); o += P
-        h["mp_visible"] = blob[o:o + P].astype(np.int32)
+        h["mp_found"] = blob[o:o + P].copy(); o += P
+        h["mp_visible"] = blob[o:o + P].copy()
         self.kf_frame_id[k] = frame_id
         self.kf_timestamp[k] = timestamp
         self.n_kf += 1
@@ -541,8 +542,10 @@ class SlamMap:
         self.state = s._replace(
             kf_R=s.kf_R.at[kf_id].set(R), kf_t=s.kf_t.at[kf_id].set(t)
         )
-        self.host["kf_R"][kf_id] = np.asarray(self.state.kf_R[kf_id])
-        self.host["kf_t"][kf_id] = np.asarray(self.state.kf_t[kf_id])
+        # mirror from the arguments (a device read-back here would cost two
+        # round trips for values the caller already has)
+        self.host["kf_R"][kf_id] = np.asarray(R, np.float32)
+        self.host["kf_t"][kf_id] = np.asarray(t, np.float32)
 
 
 @jax.jit
@@ -601,19 +604,22 @@ def _add_points_from_kf_jit(s: MapState, dev_ids, m, pos, kf) -> MapState:
 
 @jax.jit
 def _row_blob(R, t, xy, level, desc, kp_valid) -> jnp.ndarray:
-    """One keyframe row as a single f32 blob: [9 R][3 t][2N xy][N level]
-    [8N desc bitcast f32][N kp_valid] — the insert-time mirror refresh and
-    the loop closer's BoW inputs in ONE round trip (returned BY the insert
-    program, so insertion is one dispatch + one fetch total)."""
-    desc_f = jax.lax.bitcast_convert_type(
-        jnp.asarray(desc, jnp.uint32), jnp.float32)
+    """One keyframe row as a single INT32 blob: [9 R][3 t][2N xy] (f32
+    bitcast) [N level][8N desc][N kp_valid] — the insert-time mirror
+    refresh and the loop closer's BoW inputs in ONE round trip (returned BY
+    the insert program, so insertion is one dispatch + one fetch total).
+    Integer transport throughout: bitcasting descriptors to float32 would
+    expose NaN bit patterns to potential canonicalization on the device
+    link, silently corrupting the host descriptor mirror."""
+    def f2i(x):
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(x, jnp.float32), jnp.int32).reshape(-1)
     return jnp.concatenate([
-        jnp.asarray(R, jnp.float32).reshape(-1),
-        jnp.asarray(t, jnp.float32).reshape(-1),
-        jnp.asarray(xy, jnp.float32).reshape(-1),
-        jnp.asarray(level).astype(jnp.float32),
-        desc_f.reshape(-1),
-        jnp.asarray(kp_valid).astype(jnp.float32),
+        f2i(R), f2i(t), f2i(xy),
+        jnp.asarray(level).astype(jnp.int32),
+        jax.lax.bitcast_convert_type(
+            jnp.asarray(desc, jnp.uint32), jnp.int32).reshape(-1),
+        jnp.asarray(kp_valid).astype(jnp.int32),
     ])
 
 
@@ -630,12 +636,12 @@ def _insert_keyframe_batch_jit(s: MapState, k, R, t, xy_s, level_s, angle_s,
 @jax.jit
 def _insert_keyframe_jit(s: MapState, k, R, t, xy, level, angle, desc,
                          kp_valid, obs):
-    # the blob also carries the landmark found/visible counters (exact in
-    # f32 below 2^24): point culling needs their insert-time values, and
-    # riding the insert fetch saves two keyframe-rate round trips
+    # the blob also carries the landmark found/visible counters: point
+    # culling needs their insert-time values, and riding the insert fetch
+    # saves two keyframe-rate round trips
     blob = jnp.concatenate([
         _row_blob(R, t, xy, level, desc, kp_valid),
-        s.mp_found.astype(jnp.float32), s.mp_visible.astype(jnp.float32)])
+        s.mp_found.astype(jnp.int32), s.mp_visible.astype(jnp.int32)])
     return blob, s._replace(
         kf_valid=s.kf_valid.at[k].set(True),
         kf_R=s.kf_R.at[k].set(R),

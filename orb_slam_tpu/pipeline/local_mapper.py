@@ -34,20 +34,8 @@ class LocalMapper:
     cfg: SystemConfig
     cam: cam_mod.CameraParams
     last_culled_kfs: list = None
-    # host mirrors of device arrays keyed by array identity: every
-    # device->host fetch costs a fixed-latency round trip (25+ ms on the
-    # tunneled TPU), so the keyframe-rate host logic reads mirrors that
-    # refresh only when the underlying array object changed
-    _mirrors: dict = None
-
-    def _m(self, arr, key: str) -> np.ndarray:
-        if self._mirrors is None:
-            self._mirrors = {}
-        ent = self._mirrors.get(key)
-        if ent is None or ent[0] is not arr:
-            self._mirrors[key] = ent = (arr, np.asarray(arr))
-        return ent[1]
-
+    # (host state lives on the SlamMap's maintained mirrors — obs_np,
+    # kf_valid_np, mp_valid_np, host{...}; see mapping/mapstore.py)
     _consts: dict = None
 
     def _const(self, key: str):

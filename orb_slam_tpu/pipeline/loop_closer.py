@@ -43,17 +43,8 @@ class LoopCloser:
     kf_bow: dict = field(default_factory=dict)
     last_loop_kf: int = -(10 ** 9)
     consistent_groups: List = field(default_factory=list)
-    _mirrors: dict = None
-
-    def _m(self, arr, key: str) -> np.ndarray:
-        # identity-keyed host mirror (device fetches cost a fixed-latency
-        # round trip each; see pipeline/local_mapper.py)
-        if self._mirrors is None:
-            self._mirrors = {}
-        ent = self._mirrors.get(key)
-        if ent is None or ent[0] is not arr:
-            self._mirrors[key] = ent = (arr, np.asarray(arr))
-        return ent[1]
+    # covisibility-matrix cache keyed by the kf_obs array generation
+    _covis_cache: tuple = None
 
     def remap_keyframes(self, lut: np.ndarray):
         """Apply a keyframe-pool compaction LUT (old id -> new id, -1 =
@@ -81,8 +72,7 @@ class LoopCloser:
             # if compaction dropped the anchor, a stale index would make the
             # min_kfs_between_loops gate count from an unrelated keyframe
             self.last_loop_kf = nk if nk >= 0 else -(10**9)
-        if self._mirrors is not None:
-            self._mirrors.clear()
+        self._covis_cache = None
 
     def _covis_np(self, smap) -> np.ndarray:
         # cached per kf_obs generation; sparse point->keyframe counting in
@@ -91,11 +81,9 @@ class LoopCloser:
         # flat as the map grows (round-1 [K,P] incidence BLAS removed).
         # obs comes from the maintained host mirror — no device fetch.
         st = smap.state
-        ent = (self._mirrors or {}).get("covis_W")
+        ent = self._covis_cache
         if ent is not None and ent[0] is st.kf_obs:
             return ent[1]
-        if self._mirrors is None:
-            self._mirrors = {}
         obs = smap.obs_np
         kf_valid = smap.kf_valid_np
         W = native.covisibility_counts(
@@ -103,7 +91,7 @@ class LoopCloser:
         # edge rule: weight >= 15 or best-edge fallback (KeyFrame.cc:378-421)
         W = mapstore.connected_weights(
             W, self.cfg.loop.covisibility_weight_min)
-        self._mirrors["covis_W"] = (st.kf_obs, W)
+        self._covis_cache = (st.kf_obs, W)
         return W
     rng_key: jax.Array = field(default_factory=lambda: jax.random.PRNGKey(7))
     n_loops_closed: int = 0

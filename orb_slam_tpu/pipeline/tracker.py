@@ -1005,6 +1005,9 @@ class Tracker:
         if self.loop_closer is not None:
             self.loop_closer.kf_bow = {}
             self.loop_closer.consistent_groups = []
+            # stale old-map anchor would gate loop detection in the new map
+            self.loop_closer.last_loop_kf = -(10 ** 9)
+            self.loop_closer._covis_cache = None
             if self.loop_closer.voc is not None:
                 self.loop_closer.db = db_mod.BowDatabase.create(
                     self.cfg.map.max_keyframes,
@@ -1146,8 +1149,13 @@ class Tracker:
         bow = voc_mod.transform_np(
             lc.voc, np.asarray(fd.feats.desc), np.asarray(fd.feats.valid))
         P = self.cfg.map.max_points
+        # host mirrors + sparse native counting: the previous device
+        # [K,P]@[P,K] incidence product plus full-matrix fetch cost several
+        # round trips on every LOST frame
         covis = mapstore.connected_weights(
-            np.asarray(mapstore.covisibility_matrix(st, P)),
+            native.covisibility_counts(
+                self.slam_map.obs_np, self.slam_map.kf_valid_np,
+                P).astype(np.int64),
             self.cfg.loop.covisibility_weight_min).astype(np.float64)
         lc.ensure_capacity(self.slam_map.cfg.max_keyframes)
         cands = db_mod.detect_candidates(

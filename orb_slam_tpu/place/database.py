@@ -47,23 +47,23 @@ class BowDatabase(NamedTuple):
             has_row=np.zeros(max_kf, bool),
         )
 
+    # add/remove mutate IN PLACE and return self: the LoopCloser is the
+    # database's sole owner (worker-thread writes; the tracker's reloc path
+    # reads only after flushing the worker), and copying the whole
+    # [max_kf, W] tables per keyframe is O(K*W) host work that doubles at
+    # every pool growth.
+
     def add(self, kf_id: int, bow: SparseBow) -> "BowDatabase":
-        ids = self.ids.copy()
-        w = self.w.copy()
-        has = self.has_row.copy()
-        ids[kf_id] = np.asarray(bow.ids)
-        w[kf_id] = np.asarray(bow.weights)
-        has[kf_id] = True
-        return BowDatabase(ids=ids, w=w, has_row=has)
+        self.ids[kf_id] = np.asarray(bow.ids)
+        self.w[kf_id] = np.asarray(bow.weights)
+        self.has_row[kf_id] = True
+        return self
 
     def remove(self, kf_id: int) -> "BowDatabase":
-        ids = self.ids.copy()
-        w = self.w.copy()
-        has = self.has_row.copy()
-        ids[kf_id] = np.int32(2**30)
-        w[kf_id] = 0.0
-        has[kf_id] = False
-        return BowDatabase(ids=ids, w=w, has_row=has)
+        self.ids[kf_id] = np.int32(2**30)
+        self.w[kf_id] = 0.0
+        self.has_row[kf_id] = False
+        return self
 
     def grown(self, max_kf: int) -> "BowDatabase":
         """Re-pad to a larger keyframe capacity (pool growth; ids stable)."""
