@@ -65,6 +65,20 @@ class System:
         """Flush mapping and join worker threads (System::Shutdown)."""
         self.tracker.shutdown()
 
+    def save_checkpoint(self, path: str):
+        """Flush mapping, then persist the whole map (beyond reference
+        parity — the reference keeps nothing but the final trajectory)."""
+        from ..mapping import checkpoint as ckpt
+        self.tracker.finish()
+        ckpt.save_map(path, self.tracker.slam_map)
+
+    def resume_checkpoint(self, path: str):
+        """Load a saved map and re-enter tracking LOST: the next frames
+        relocalize into the prior session's map and tracking continues."""
+        from ..mapping import checkpoint as ckpt
+        smap = ckpt.load_map(path, self.tracker.cfg.map)
+        self.tracker.adopt_map(smap)
+
     def evaluate_ate(self, gt: np.ndarray) -> Optional[float]:
         """gt: [N, 8] TUM rows.  Associates keyframes by timestamp."""
         rows = self.tracker.keyframe_trajectory()

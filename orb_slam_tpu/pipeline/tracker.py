@@ -310,6 +310,61 @@ class Tracker:
             self.async_mapper.shutdown()
             self.async_mapper = None
 
+    def adopt_map(self, smap: mapstore.SlamMap):
+        """Resume from a checkpointed map (mapping/checkpoint.py): tracking
+        re-enters LOST and relocalizes into the loaded map — the
+        multi-session story the reference lacks (it has no persistence;
+        SURVEY §5.4).  Place recognition is rebuilt from the map's host
+        descriptor mirrors, so resume costs zero device fetches beyond the
+        map upload itself."""
+        self._drain_pipe()
+        if self.async_mapper is not None:
+            res = self.async_mapper.flush()
+            if res is not None:
+                self._commit_mapping(res, {})
+        self.slam_map = smap
+        self.state = TrackState.LOST if smap.n_kf else \
+            TrackState.NOT_INITIALIZED
+        self.frame_id = (int(smap.kf_frame_id[: smap.n_kf].max()) + 1
+                         if smap.n_kf else 0)
+        live = np.where(smap.kf_valid_np[: smap.n_kf])[0]
+        self.ref_kf = int(live[-1]) if len(live) else -1
+        if self.ref_kf >= 0:
+            self.last_R = smap.host["kf_R"][self.ref_kf].copy()
+            self.last_t = smap.host["kf_t"][self.ref_kf].copy()
+        self.last_frame = None
+        self._last_stacked = None
+        self._chain = None
+        self._pipe = []
+        self._batch_buf = []
+        self._sel_cache = None
+        self._sel_dirty = True
+        self.vel_R, self.vel_t = None, None
+        self.last_kf_frame_id = -10**9
+        self.last_reloc_frame_id = -10**9
+        self.n_ref_tracked = 0
+        self.last_assoc_pid = None
+
+        lc = self.loop_closer
+        if lc is None:
+            return
+        if lc.voc is None:
+            # bootstrap a vocabulary from the map's own descriptors (the
+            # configured path/prebuilt wins inside ensure_vocabulary)
+            desc = smap.host["kf_desc"][live][smap.host["kf_kp_valid"][live]]
+            lc.ensure_vocabulary(desc[:20000])
+        lc.db = db_mod.BowDatabase.create(
+            smap.cfg.max_keyframes, self.cfg.extractor.max_keypoints)
+        lc.kf_bow = {}
+        for k in live:
+            bow = voc_mod.transform_np(
+                lc.voc, smap.host["kf_desc"][k], smap.host["kf_kp_valid"][k])
+            lc.kf_bow[int(k)] = bow
+            lc.db = lc.db.add(int(k), bow)
+        lc.consistent_groups = []
+        lc.last_loop_kf = -(10 ** 9)
+        lc._covis_cache = None
+
     def extract(self, image) -> FrameFeatures:
         """Default extraction path: level-batched, Pallas-fused on TPU.
 
@@ -1174,6 +1229,16 @@ class Tracker:
             mm = match_ops.match_nn(
                 match_ops.apply_masks(dist, mask),
                 max_dist=self.cfg.matcher.th_low, ratio=0.75)
+            if self.cfg.matcher.check_orientation:
+                # SearchByBoW's rotation histogram (ORBmatcher.cc reloc
+                # call is matcher(0.75, true)) — without it ~60% of the
+                # BoW matches here are false and RANSAC starves
+                keep = match_ops.rotation_consistency(
+                    fd.feats.angle, st.kf_angle[cand], mm,
+                    histo_length=self.cfg.matcher.histo_length)
+                mm = match_ops.Matches(
+                    idx=jnp.where(keep, mm.idx, -1), dist=mm.dist,
+                    valid=keep)
             mm = match_ops.resolve_duplicates(mm, obs.shape[0])
             n_matches = int(jnp.sum(mm.valid))
             metrics["reloc_matches"] = n_matches
@@ -1193,7 +1258,13 @@ class Tracker:
             n_samp = int(np.ceil(
                 np.log(max(1e-9, 1.0 - scfg.pnp_prob))
                 / np.log(1.0 - scfg.pnp_epsilon ** scfg.pnp_min_set)))
-            n_samp = max(32, min(n_samp, scfg.pnp_max_iters))
+            # the analytic budget assumes the reference's epsilon=0.5
+            # inlier ratio; measured BoW-match purity after the rotation
+            # gate is ~0.5-0.7 but drops below 0.4 on repetitive texture,
+            # where 128 samples starve (observed in the resume e2e).  The
+            # batched vmapped EPnP makes extra samples nearly free: floor
+            # at the reference's 300-iteration cap (-> 512 bucket).
+            n_samp = max(scfg.pnp_max_iters, min(n_samp, scfg.pnp_max_iters))
             n_samp = 1 << (n_samp - 1).bit_length()
             res = pnp.pnp_ransac(
                 sub, X, fd.xy_und, fd.inv_sigma2, jnp.asarray(pvalid),
@@ -1203,9 +1274,13 @@ class Tracker:
                 min_inliers=scfg.pnp_min_inliers)
             if not bool(res.ok):
                 continue
+            # refine over the RANSAC inliers only (Tracking.cc:958-980
+            # nulls non-inlier map points before PoseOptimization; feeding
+            # the false BoW matches back in drags the pose away)
             r1 = pose_opt.optimize_pose(
                 res.R, res.t, X, fd.xy_und, fd.inv_sigma2,
-                jnp.asarray(pvalid), self.cam, self.cfg.solver)
+                jnp.asarray(pvalid) & res.inliers, self.cam,
+                self.cfg.solver)
             if int(r1.n_inliers) < self.cfg.solver.pnp_min_inliers:
                 continue
 

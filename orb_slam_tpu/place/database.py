@@ -141,5 +141,11 @@ def detect_candidates(
     # column 0 is the candidate itself (always ok), so zero-score ties
     # resolve to it — matching the loop's "members start at c" order
     best_of_group = members[np.arange(len(cand)), sc.argmax(axis=1)]
-    cut = acc_ratio * acc_scores.max()
-    return np.unique(best_of_group[acc_scores >= cut])
+    keep = acc_scores >= acc_ratio * acc_scores.max()
+    # rank by accumulated score, best first, then dedup keeping rank:
+    # callers cut the list (reloc tries the top 5), so id-sorted output
+    # would bias toward the OLDEST keyframes instead of the best match
+    order = np.argsort(-acc_scores[keep], kind="stable")
+    ranked = best_of_group[keep][order]
+    _, first = np.unique(ranked, return_index=True)
+    return ranked[np.sort(first)]
