@@ -141,10 +141,13 @@ def main():
         matcher=MatcherConfig(window_init=120),
         # frame_batch amortizes the runtime's fixed per-dispatch cost
         # (25+ ms/call on the tunneled TPU once any host readback happened)
-        # across 12 frames: 1 scan dispatch + 1 blob fetch per batch
+        # across 16 frames: 1 scan dispatch + 1 blob fetch per batch.
+        # Measured sweep (BENCH_SWEEP_r03.json): 12 -> 72.9 fps,
+        # 16 -> 81.6 fps, 24 -> keyframe starvation (policy lags a full
+        # batch and the map resets).  16 is the live optimum.
         tracker=TrackerConfig(
             async_mapping=True,
-            frame_batch=int(os.environ.get("ORB_SLAM_TPU_FRAME_BATCH", 12))),
+            frame_batch=int(os.environ.get("ORB_SLAM_TPU_FRAME_BATCH", 16))),
     )
     system = System.create(cfg)
     K = cfg.camera.K

@@ -109,7 +109,11 @@ def time_case(K, P, solver, reps=3, seed=0, i_lo=4, i_hi=14):
         t0 = time.perf_counter()
         res = ba.bundle_adjust(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
                                two_phase=False, solver=solver)
-        jax.block_until_ready(res.points)
+        # force a real host readback: through the axon relay,
+        # block_until_ready can return before execution completes (the
+        # 64KF dense case timed 0.000 s without this), and the fetch's
+        # fixed cost cancels in the two-bucket difference anyway
+        np.asarray(res.points)
         return time.perf_counter() - t0, res, n_obs
 
     run(i_lo); run(i_hi)                     # compile both buckets
