@@ -97,13 +97,17 @@ def _robust_cost(r, z, inv_sigma2, active, delta2):
     return jnp.sum(rho * active * (z > 0))
 
 
-def _pcg_solve(matvec, precond, b, n_iters: int):
+def _pcg_solve(matvec, precond, b, n_iters: int, x0=None):
     """Fixed-budget preconditioned conjugate gradient on the reduced camera
     system (compiler-friendly: lax.scan, no convergence-dependent shapes).
     Replaces g2o's CHOLMOD sparse Cholesky for problems where the dense
-    [6K,6K] Schur matrix / [P,K] block grid would not fit."""
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    [6K,6K] Schur matrix would not fit / its Cholesky would dominate.
+    x0: optional warm start (the previous LM iteration's camera step —
+    successive reduced systems differ only by damping and a small pose
+    move, so the previous solution is an excellent initial guess)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
@@ -126,14 +130,50 @@ def _pcg_solve(matvec, precond, b, n_iters: int):
     return x
 
 
+def _half_schur(Hpp_d, A, edges, K: int):
+    """The Schur half-matrix G [6K, 3P] with S = Hcc_d - G G^T.
+
+    Factor Hpp_d^-1 = L L^T per landmark (L = C^-T from the 3x3 Cholesky
+    C C^T = Hpp_d) and scatter the per-edge blocks U_o L_{p(o)} into a
+    dense matrix ONCE per LM iteration.  Everything downstream becomes
+    MXU matmuls: S assembly is one G @ G^T (vs the old [P,K,6,3] block
+    grid — 4x the memory and two HBM-bound 1.2 GB intermediates at
+    256 KF x 16k pts), and the matrix-free CG matvec is two G matvecs
+    with ZERO inner-loop scatters (the old edge-wise matvec paid 2
+    gathers + 2 scatter-adds per CG step, 192 scatters per LM iteration
+    at cg_iters=48 — scatter latency, not FLOPs, made CG lose to dense
+    everywhere in BA_CITY_r03)."""
+    P = Hpp_d.shape[0]
+    C = jnp.linalg.cholesky(Hpp_d)                          # [P,3,3] lower
+    L = jnp.linalg.inv(C).transpose(0, 2, 1)                # C^-T: LL^T=Hpp^-1
+    Gblk = jnp.einsum("oab,obc->oac", A, L[edges.pt_idx])   # [O,6,3]
+    # Build G by GATHER, not block scatter: XLA's TPU lowering of a
+    # [6,3]-windowed scatter materializes a [6,3,K*P] broadcast of the
+    # updates (24 GB at 1024 KF x 32k pts — OOM; ~100 ms at 256 KF).  Each
+    # (camera, point) pair holds at most one observation, so G is a pure
+    # PLACEMENT of Gblk rows: scatter only the int32 edge ids into a [K,P]
+    # lookup (scalar scatter — cheap), then gather the blocks.  Invalid
+    # (padding) edges route to a dump row so they can't shadow a real
+    # (0, 0) edge.
+    O = Gblk.shape[0]
+    cam_s = jnp.where(edges.valid, edges.cam_idx, K)
+    eid = jnp.full((K + 1, P), O, jnp.int32).at[
+        cam_s, edges.pt_idx].set(jnp.arange(O, dtype=jnp.int32))
+    Gpad = jnp.concatenate([Gblk, jnp.zeros((1, 6, 3), Gblk.dtype)])
+    G4 = Gpad[eid[:K]]                                      # [K, P, 6, 3]
+    Gd = G4.transpose(0, 2, 1, 3).reshape(6 * K, 3 * P)
+    return Gd, Gblk
+
+
 def _solve_reduced_cg(Hcc_d, Hpp_inv, A, gc, gp, edges, free, K,
-                      cg_iters: int):
-    """Matrix-free Schur solve: never materializes the [P,K,6,3] block grid
-    or the dense [6K,6K] matrix.  A [O,6,3] holds the per-edge camera-point
-    coupling Jc^T w Jp (each landmark is observed at most once per keyframe,
-    so per-edge blocks ARE the U_{pk} blocks).  S v is two edge-wise
-    segment-sums; the preconditioner is the exact block diagonal of S
-    (6x6 per camera), computable edge-wise for the same reason."""
+                      cg_iters: int, Gd, Gblk, x0=None):
+    """Matrix-free Schur solve: never materializes the [6K,6K] matrix.
+    A [O,6,3] holds the per-edge camera-point coupling Jc^T w Jp (each
+    landmark is observed at most once per keyframe, so per-edge blocks ARE
+    the U_{pk} blocks).  S v rides the half-matrix G (see _half_schur):
+    S v = Hcc_d v - G (G^T v), two MXU matmuls per CG step.  The
+    preconditioner is the exact block diagonal of S (6x6 per camera),
+    computable edge-wise from the same G blocks."""
     cam_idx, pt_idx = edges.cam_idx, edges.pt_idx
     P = Hpp_inv.shape[0]
     freeC = free[:, None]
@@ -145,9 +185,8 @@ def _solve_reduced_cg(Hcc_d, Hpp_inv, A, gc, gp, edges, free, K,
     g_red = g_red * freeC
 
     # exact block diagonal of S for the preconditioner
-    AH = jnp.einsum("oab,obc->oac", A, Hpp_inv[pt_idx])    # [O,6,3]
     diag_sub = jnp.zeros((K, 6, 6), gc.dtype).at[cam_idx].add(
-        jnp.einsum("oac,obc->oab", AH, A))
+        jnp.einsum("oac,obc->oab", Gblk, Gblk))
     S_diag = Hcc_d - diag_sub
     S_diag = (S_diag * free[:, None, None]
               + jnp.eye(6, dtype=gc.dtype) * (1.0 - free)[:, None, None]
@@ -155,20 +194,17 @@ def _solve_reduced_cg(Hcc_d, Hpp_inv, A, gc, gp, edges, free, K,
     P_inv = jnp.linalg.inv(S_diag)                         # [K,6,6]
 
     def matvec(v):
-        v = v.reshape(K, 6) * freeC
-        yp = jnp.zeros((P, 3), v.dtype).at[pt_idx].add(
-            jnp.einsum("oab,oa->ob", A, v[cam_idx]))       # W^T v
-        zp = jnp.einsum("pab,pb->pa", Hpp_inv, yp)
-        out = jnp.einsum("kab,kb->ka", Hcc_d, v)
-        out = out - jnp.zeros((K, 6), v.dtype).at[cam_idx].add(
-            jnp.einsum("oab,ob->oa", A, zp[pt_idx]))
-        out = out * freeC + v * (1.0 - freeC)
+        vm = (v.reshape(K, 6) * freeC).reshape(-1)
+        out = jnp.einsum("kab,kb->ka", Hcc_d, vm.reshape(K, 6))
+        out = out.reshape(-1) - Gd @ (Gd.T @ vm)
+        out = out.reshape(K, 6) * freeC + v.reshape(K, 6) * (1.0 - freeC)
         return out.reshape(-1)
 
     def precond(r):
         return (jnp.einsum("kab,kb->ka", P_inv, r.reshape(K, 6))).reshape(-1)
 
-    dxc = -_pcg_solve(matvec, precond, g_red.reshape(-1), cg_iters)
+    x0v = None if x0 is None else (x0 * freeC).reshape(-1)
+    dxc = -_pcg_solve(matvec, precond, g_red.reshape(-1), cg_iters, x0=x0v)
     dxc = dxc.reshape(K, 6) * freeC
 
     # landmark back-substitution (edge-wise)
@@ -187,7 +223,7 @@ def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
     P = Xs.shape[0]
 
     def step(carry, _):
-        Rs, ts, Xs, lam = carry
+        Rs, ts, Xs, lam, dxc_prev = carry
         r, Jc, Jp, z = _edge_terms(Rs, ts, Xs, edges, cam)
         c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
         w = _huber_weight(c2, delta2) if use_robust else jnp.ones_like(c2)
@@ -213,20 +249,24 @@ def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
 
         Hpp_inv = jnp.linalg.inv(Hpp_d)                       # [P,3,3]
         free = (~fixed).astype(Rs.dtype)
+        Gd, Gblk = _half_schur(Hpp_d, JcTJp, edges, K)
 
         if solver == "cg":
             dxc, dxp = _solve_reduced_cg(
-                Hcc_d, Hpp_inv, JcTJp, gc, gp, edges, free, K, cg_iters)
+                Hcc_d, Hpp_inv, JcTJp, gc, gp, edges, free, K, cg_iters,
+                Gd, Gblk, x0=-dxc_prev)  # see dxc_warm below
         else:
-            U = jnp.zeros((P, K, 6, 3), Rs.dtype).at[
-                edges.pt_idx, edges.cam_idx].add(JcTJp)
-
-            # Schur complement (MXU einsums over the dense block grid)
-            M = jnp.einsum("pkab,pbc->pkac", U, Hpp_inv)      # [P,K,6,3]
-            S_sub = jnp.einsum("pkac,plbc->kalb", M, U)       # [K,6,K,6]
-            S = -S_sub
+            # Schur complement via the half-matrix: S = Hcc_d - G G^T,
+            # ONE MXU matmul (see _half_schur for why this replaced the
+            # [P,K,6,3] block-grid einsums)
+            S_sub = Gd @ Gd.T                                 # [6K,6K]
+            S = -S_sub.reshape(K, 6, K, 6)
             S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
-            g_red = gc - jnp.einsum("pkac,pc->ka", M, gp)     # [K,6]
+
+            # g_red = gc - U Hpp^-1 gp (edge-wise, one scatter)
+            y = jnp.einsum("pab,pb->pa", Hpp_inv, gp)         # [P,3]
+            g_red = gc - jnp.zeros((K, 6), Rs.dtype).at[edges.cam_idx].add(
+                jnp.einsum("oab,ob->oa", JcTJp, y[edges.pt_idx]))
 
             # gauge: fixed cameras get identity rows/cols, zero gradient
             S = S * free[:, None, None, None] * free[None, None, :, None]
@@ -239,11 +279,10 @@ def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
             dxc = -jnp.linalg.solve(S.reshape(6 * K, 6 * K),
                                     g_red.reshape(-1))
             dxc = dxc.reshape(K, 6)
-            dxp = -jnp.einsum(
-                "pab,pb->pa",
-                Hpp_inv,
-                gp + jnp.einsum("pkac,ka->pc", U, dxc),
-            )
+            # landmark back-substitution (edge-wise, one scatter)
+            up = jnp.zeros((P, 3), Rs.dtype).at[edges.pt_idx].add(
+                jnp.einsum("oab,oa->ob", JcTJp, dxc[edges.cam_idx]))
+            dxp = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + up)
 
         Rs1, ts1 = jax.vmap(se3.retract)(Rs, ts, dxc)
         Xs1 = Xs + dxp
@@ -258,10 +297,16 @@ def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
         ts = jnp.where(accept, ts1, ts)
         Xs = jnp.where(accept, Xs1, Xs)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return (Rs, ts, Xs, lam), cost_new
+        # warm-start the next CG solve only from an ACCEPTED step — a
+        # rejected step solved a system the damping then repudiated, and
+        # seeding with it measurably degrades convergence (BA_CITY r4
+        # first cut: 256 KF CG final cost 94.7k vs 48.3k dense)
+        dxc_warm = jnp.where(accept, dxc, jnp.zeros_like(dxc))
+        return (Rs, ts, Xs, lam, dxc_warm), cost_new
 
-    (Rs, ts, Xs, lam), costs = jax.lax.scan(
-        step, (Rs, ts, Xs, lam0), None, length=n_iters
+    (Rs, ts, Xs, lam, _), costs = jax.lax.scan(
+        step, (Rs, ts, Xs, lam0, jnp.zeros((K, 6), Rs.dtype)), None,
+        length=n_iters
     )
     return Rs, ts, Xs, lam, costs[-1]
 
@@ -284,14 +329,16 @@ def bundle_adjust(
     cfg.global_ba_iters robust iterations (init/global BA,
     Optimizer.cc:38-152).
 
-    solver: "dense" materializes the [P,K,6,3] Schur block grid and solves
-    the reduced [6K,6K] system directly (fastest at local-BA sizes);
-    "cg" is the matrix-free preconditioned-CG path (city-scale global BA —
-    the block grid at 32k points x 512 KFs would be ~1.2 GB/iteration);
-    "auto" picks by block-grid footprint."""
+    solver: both paths ride the Schur half-matrix G [6K,3P] with
+    S = Hcc - G G^T (see _half_schur).  "dense" assembles S with one MXU
+    matmul and solves the reduced [6K,6K] system exactly — O(P K^2) FLOPs
+    per iteration; "cg" never forms S and runs warm-started block-Jacobi
+    PCG whose matvecs are two G matmuls — O(cg_iters * P K) bytes per
+    iteration, so it overtakes dense once K is large enough that the
+    K^2 assembly dominates (measured crossover in BA_CITY_r04.json);
+    "auto" picks by keyframe count."""
     if solver == "auto":
-        grid_mb = Xs.shape[0] * Rs.shape[0] * 18 * 4 / 1e6
-        solver = "cg" if grid_mb > 256.0 else "dense"
+        solver = "cg" if Rs.shape[0] > 384 else "dense"
     # the WHOLE schedule is one device program: the inter-phase chi2 gate
     # and the final inlier mask used to run eagerly (~300 tiny dispatches
     # per keyframe — each one a full round trip on latency-bound runtimes)

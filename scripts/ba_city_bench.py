@@ -97,8 +97,16 @@ def make_problem(rng, K, P, obs_per_pt=6, noise=0.02):
 
 def time_case(K, P, solver, reps=3, seed=0, i_lo=4, i_hi=14):
     """ms/LM-iteration via two warmed iteration buckets: the difference
-    (t_hi - t_lo) / (i_hi - i_lo) cancels the fixed per-call relay cost,
-    which is also reported (t_lo at warmed steady state)."""
+    (t_hi - t_lo) / (i_hi - i_lo) cancels the fixed per-call cost (relay
+    round trip + device-to-host points readback), which is also reported.
+    Methodology note (ADVICE r3): per_call_floor_s INCLUDES the
+    np.asarray(points) fetch — through the axon relay
+    jax.block_until_ready can return before execution completes, so a
+    real readback is the only honest completion barrier; rounds 1-2 used
+    block_until_ready-only floors and are not directly comparable.
+    Both buckets are compiled in a warmup pass before any timed call;
+    a non-positive ms/iter means the measurement is invalid (it was the
+    r3 artifact's 64KF-dense defect) and is flagged."""
     from orb_slam_tpu.solvers import bundle_adjust as ba
     from orb_slam_tpu.config import SolverConfig
     rng = np.random.default_rng(seed)
@@ -109,11 +117,7 @@ def time_case(K, P, solver, reps=3, seed=0, i_lo=4, i_hi=14):
         t0 = time.perf_counter()
         res = ba.bundle_adjust(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
                                two_phase=False, solver=solver)
-        # force a real host readback: through the axon relay,
-        # block_until_ready can return before execution completes (the
-        # 64KF dense case timed 0.000 s without this), and the fetch's
-        # fixed cost cancels in the two-bucket difference anyway
-        np.asarray(res.points)
+        np.asarray(res.points)   # real completion barrier (see docstring)
         return time.perf_counter() - t0, res, n_obs
 
     run(i_lo); run(i_hi)                     # compile both buckets
@@ -122,20 +126,32 @@ def time_case(K, P, solver, reps=3, seed=0, i_lo=4, i_hi=14):
     t_lo = min(r[0] for r in lo)
     t_hi = min(r[0] for r in hi)
     res, n_obs = hi[-1][1], hi[-1][2]
+    ms_per_iter = (t_hi - t_lo) / (i_hi - i_lo) * 1e3
     return dict(K=K, P=P, n_obs=n_obs, solver=solver,
                 iters=(i_lo, i_hi),
                 wall_lo_s=round(t_lo, 3), wall_hi_s=round(t_hi, 3),
-                ms_per_iter=round((t_hi - t_lo) / (i_hi - i_lo) * 1e3, 3),
+                ms_per_iter=round(ms_per_iter, 3),
+                valid=bool(ms_per_iter > 0),
                 per_call_floor_s=round(t_lo, 3),
+                per_call_floor_includes_points_readback=True,
                 final_cost=float(res.cost))
 
 
-def speed_of_light(K, P, obs_per_pt=6):
-    """Dominant FLOPs per dense LM iteration: the [P,K,6,3] Schur grid
-    einsums (~2 * P*K*6*3*3 * 2 contractions) vs v5e bf16/f32 peak."""
-    flops = 4.0 * P * K * 6 * 3 * 3 * 2
-    v5e_f32 = 98e12 / 2   # f32 ~half of bf16 peak on v5e MXU
-    return flops / v5e_f32 * 1e3   # ms
+def speed_of_light(K, P, solver, cg_iters=48):
+    """Per-LM-iteration floor for the half-matrix formulation
+    (S = Hcc - G G^T, G [6K,3P]; solvers/bundle_adjust._half_schur).
+
+    dense: dominated by the G @ G^T MXU matmul — 2*(3P)*(6K)^2 f32 FLOPs —
+    with an HBM floor of ~3 passes over G (scatter-build, read twice).
+    cg: dominated by HBM traffic — 2 passes over G per CG step.
+    v5e: ~49 TFLOP/s f32 (half of bf16 peak), ~0.8 TB/s HBM."""
+    v5e_f32 = 98e12 / 2
+    hbm = 0.8e12
+    g_bytes = (6 * K) * (3 * P) * 4.0
+    if solver == "dense":
+        flops = 2.0 * (3 * P) * (6 * K) ** 2 + (6 * K) ** 3 / 3.0
+        return max(flops / v5e_f32, 3 * g_bytes / hbm) * 1e3
+    return cg_iters * 2 * g_bytes / hbm * 1e3
 
 
 def main():
@@ -151,16 +167,29 @@ def main():
     results = {"backend": jax.default_backend(),
                "device": str(jax.devices()[0]),
                "iters": args.iters, "cases": []}
-    for (K, P) in ((64, 8192), (256, 16384)):
+    cases = ((64, 8192), (256, 16384), (512, 24576), (1024, 32768))
+    if args.cpu:
+        cases = ((64, 8192), (256, 16384))   # methodology smoke test only
+    for (K, P) in cases:
         for solver in ("dense", "cg"):
-            if solver == "dense" and K * P > 64 * 8192 and args.cpu:
-                continue   # 1.2 GB grid, pointless on CPU
             r = time_case(K, P, solver)
-            r["speed_of_light_ms_dense_grid"] = round(speed_of_light(K, P), 3)
+            r["speed_of_light_ms"] = round(speed_of_light(K, P, solver), 3)
             results["cases"].append(r)
             print(json.dumps(r), flush=True)
+    # the dense/CG crossover (VERDICT r3 item 3): smallest K where CG wins
+    by_k = {}
+    for r in results["cases"]:
+        by_k.setdefault(r["K"], {})[r["solver"]] = r
+    cross = [k for k, d in sorted(by_k.items())
+             if "cg" in d and "dense" in d and d["cg"]["valid"]
+             and d["cg"]["ms_per_iter"] <= d["dense"]["ms_per_iter"]]
+    results["cg_beats_dense_at_K"] = cross
+    results["crossover_K"] = cross[0] if cross else None
 
-    # device trace of the large CG case (honest on-device time per op)
+    # device trace of the large CG case (honest on-device time per op).
+    # Warm-compile the exact traced configuration first (ADVICE r3: the
+    # r3 trace captured pjit compile frames) and end with a real readback
+    # inside the trace (block_until_ready can return early via the relay).
     try:
         from orb_slam_tpu.utils.profiling import device_trace, top_ops
         from orb_slam_tpu.solvers import bundle_adjust as ba
@@ -168,10 +197,12 @@ def main():
         rng = np.random.default_rng(7)
         Rs, ts, Xs, fixed, edges, cam, _ = make_problem(rng, 256, 16384)
         cfg = SolverConfig(global_ba_iters=args.iters)
+        np.asarray(ba.bundle_adjust(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
+                                    two_phase=False, solver="cg").points)
         with device_trace(args.trace_dir):
             res = ba.bundle_adjust(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
                                    two_phase=False, solver="cg")
-            jax.block_until_ready(res.points)
+            np.asarray(res.points)
         results["top_ops_ms"] = [
             [round(d, 2), n] for d, n in top_ops(args.trace_dir)[:12]]
     except Exception as e:  # tracing is best-effort
