@@ -155,7 +155,11 @@ def extract_batched(image: jnp.ndarray, cfg: ExtractorConfig,
         # VMEM-resident levels instead of per-keypoint gathers
         from ..ops.describe_pallas import orient_describe
         dims = jnp.stack([lh, lw], axis=1).astype(jnp.int32)
-        m01, m10, desc = orient_describe(stack, blurred, kp.xy, dims)
+        # valid slots are a rank-ordered prefix: the kernel loops over only
+        # the live keypoints of each level (counts), not the slot capacity
+        m01, m10, desc = orient_describe(
+            stack, blurred, kp.xy, dims,
+            counts=jnp.sum(valid, axis=1).astype(jnp.int32))
         angle = jnp.arctan2(m01.reshape(-1), m10.reshape(-1))
         desc = desc.reshape(L * slot_cap, 8)
     else:

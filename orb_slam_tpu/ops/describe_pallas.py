@@ -40,7 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import brief, patches
 
-WIN_R, WIN_C = 56, 256   # patch window (rows 8-aligned, cols 128-aligned)
+WIN_R, WIN_C = 48, 256   # patch window (rows 8-aligned, cols 128-aligned)
+# WIN_R derivation: ry = floor((cy-20)/8)*8 lands in [cy-27, cy-20], the
+# rotated-pattern reach is +-19 px (+1 rounding), so rows [cy-20, cy+20]
+# sit at local offsets [0..47] for every alignment case -> 48 rows (8-
+# aligned).  The r3 kernel used 56 rows with a -24 anchor; the tighter
+# anchor cuts the row-selection matmuls by 14%.
 
 
 def _moment_weights() -> tuple[np.ndarray, np.ndarray]:
@@ -83,6 +88,16 @@ def _kernel(xy_ref, dims_ref, raw_ref, blur_ref, wmom_ref, banks_ref,
             pack_ref, mom_ref, desc_ref, *, cap, H0, W0):
     lh = dims_ref[0, 0, 0]
     lw = dims_ref[0, 0, 1]
+    n_valid = dims_ref[0, 0, 2]
+    # valid slots are a prefix (select_keypoints sorts scores descending,
+    # quota masks by rank): loop over exactly the live keypoints instead of
+    # the full slot capacity — levels carry 60..217 keypoints against a
+    # 217-slot cap, so the fixed-cap loop wasted ~40% of the kernel's
+    # iterations (FRAME_PROFILE r4: this kernel was 3.6 of the ~8 ms/frame
+    # device budget).  Outputs are zero-initialized so skipped slots hold
+    # deterministic zeros (angle atan2(0,0)=0; descriptors masked anyway).
+    mom_ref[0] = jnp.zeros((cap, 2), jnp.float32)
+    desc_ref[0] = jnp.zeros((cap, 8), jnp.int32)
     wm10 = wmom_ref[0]                                     # [32, 32]
     wm01 = wmom_ref[1]
     px = banks_ref[0]                                      # [512, 1] each
@@ -98,7 +113,7 @@ def _kernel(xy_ref, dims_ref, raw_ref, blur_ref, wmom_ref, banks_ref,
         fy = xy_ref[0, 0, 2 * j + 1]
         cx = jnp.round(fx).astype(jnp.int32)
         cy = jnp.round(fy).astype(jnp.int32)
-        ry = pl.multiple_of(jnp.clip(((cy - 24) // 8) * 8, 0, H0 - WIN_R), 8)
+        ry = pl.multiple_of(jnp.clip(((cy - 20) // 8) * 8, 0, H0 - WIN_R), 8)
         cx0 = pl.multiple_of(
             jnp.clip(((cx - 19) // 128) * 128, 0, W0 - WIN_C), 128)
         raw = raw_ref[0, pl.ds(ry, WIN_R), pl.ds(cx0, WIN_C)]
@@ -165,15 +180,18 @@ def _kernel(xy_ref, dims_ref, raw_ref, blur_ref, wmom_ref, banks_ref,
         desc_ref[0, pl.ds(j, 1), :] = words
         return carry
 
-    jax.lax.fori_loop(0, cap, body, 0)
+    jax.lax.fori_loop(0, jnp.minimum(n_valid, cap), body, 0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def orient_describe(stack, blurred, kp_xy, dims, *, interpret=False):
+def orient_describe(stack, blurred, kp_xy, dims, counts=None, *,
+                    interpret=False):
     """stack/blurred: [L, H0, W0] f32 (padded pyramid + its blur).
     kp_xy: [L, cap, 2] f32 level-local pixel coords (invalid slots may hold
     arbitrary in-image values — mask downstream).  dims: [L, 2] int32 true
-    (h, w) per level.  Returns (m01 [L, cap], m10 [L, cap],
+    (h, w) per level.  counts: optional [L] int32 number of VALID keypoints
+    per level (valid slots must be a prefix — see _kernel); None processes
+    every slot.  Returns (m01 [L, cap], m10 [L, cap],
     desc [L, cap, 8] uint32)."""
     L, H0, W0 = stack.shape
     cap = kp_xy.shape[1]
@@ -181,7 +199,11 @@ def orient_describe(stack, blurred, kp_xy, dims, *, interpret=False):
     # block to tile the array; blocking [L, n] at (1, n) violates that,
     # [L, 1, n] at (1, 1, n) does not.
     xy_flat = kp_xy.reshape(L, 1, cap * 2)
-    dims3 = dims.reshape(L, 1, 2)
+    if counts is None:
+        counts = jnp.full((L,), cap, jnp.int32)
+    dims3 = jnp.concatenate(
+        [dims, counts.reshape(L, 1).astype(jnp.int32)], axis=1
+    ).reshape(L, 1, 3)
     wmom = jnp.asarray(np.stack(_moment_weights()))        # [2, 32, 32]
     banks = jnp.asarray(np.stack(_pattern_banks()))        # [2, 512, 1]
     pack = jnp.asarray(np.stack(_pack_weights()))          # [2, 256, 8]
@@ -192,7 +214,7 @@ def orient_describe(stack, blurred, kp_xy, dims, *, interpret=False):
         in_specs=[
             pl.BlockSpec((1, 1, cap * 2), lambda l: (l, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), lambda l: (l, 0, 0),
+            pl.BlockSpec((1, 1, 3), lambda l: (l, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H0, W0), lambda l: (l, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -48,7 +48,22 @@ def select_keypoints(
     cells = cells.reshape(cells_y * cells_x, ch * cw)
 
     k = min(per_cell, ch * cw)
-    cell_scores, cell_idx = jax.lax.top_k(cells, k)  # [n_cells, k]
+    # top-k per cell by k iterative argmax passes instead of lax.top_k:
+    # top_k lowers to a full per-row SORT of the [n_cells, ch*cw] matrix
+    # (~1.4 ms/frame on the chip across 8 levels, FRAME_PROFILE r4); k is
+    # tiny (4-6), so k max+mask sweeps are ~100x less work and exact
+    cells_i = cells
+    col = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+    sc, ix = [], []
+    for _ in range(k):
+        i = jnp.argmax(cells_i, axis=1)
+        # clamp exhausted cells to 0.0 like top_k over the >=0 score map
+        # (invalid slots stay score-0 -> valid mask False downstream)
+        sc.append(jnp.maximum(jnp.max(cells_i, axis=1), 0.0))
+        ix.append(i)
+        cells_i = jnp.where(col == i[:, None], -jnp.inf, cells_i)
+    cell_scores = jnp.stack(sc, axis=1)              # [n_cells, k] descending
+    cell_idx = jnp.stack(ix, axis=1)
 
     # Recover global (y, x) from cell-local flat index.
     cell_ids = jnp.arange(cells_y * cells_x)

@@ -71,6 +71,39 @@ def _huber_weight(chi2: jnp.ndarray, delta2: float) -> jnp.ndarray:
     return jnp.minimum(1.0, d / e)
 
 
+def _chol_solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled 6x6 SPD Cholesky solve in plain scalar ops.
+
+    jax.scipy.linalg.solve lowers to a Cholesky CUSTOM CALL per invocation;
+    inside the per-frame LM scans that meant 64 custom calls/frame, ~1.3 ms
+    of the ~8 ms frame budget on the chip (FRAME_PROFILE r4).  The unrolled
+    form fuses into the surrounding program: ~70 scalar FLOPs, no call
+    boundary, identical math (same LL^T factorization to f32 rounding)."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def optimize_pose(
     R0: jnp.ndarray,
     t0: jnp.ndarray,
@@ -103,7 +136,7 @@ def optimize_pose(
             H = jnp.einsum("nia,n,nib->ab", J, w, J)
             b = jnp.einsum("nia,n,ni->a", J, w, r)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
-            dx = -jax.scipy.linalg.solve(Hd, b, assume_a="pos")
+            dx = -_chol_solve6(Hd, b)
             R1, t1 = se3.retract(R, t, dx)
             # accept if total weighted chi2 decreased (LM-style)
             c2_new, z1 = chi2_of(R1, t1)
