@@ -255,6 +255,9 @@ class MeshConfig:
     model_axis: str = "model"        # shard keyframe blocks
     data_parallel: int = 1
     model_parallel: int = 1
+    # landmark partitioning for the sharded BA ("index" = allocation order,
+    # "spatial" = Morton map-block sharding, SURVEY §5.7)
+    ba_strategy: str = "index"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -579,6 +579,7 @@ class LocalMapper:
             return dist_ba.bundle_adjust_dist(
                 Rs, ts, Xs, fixed, edges, self.cam, self.cfg.solver,
                 two_phase=two_phase, n_shards=n_shards,
+                strategy=self.cfg.mesh.ba_strategy,
                 axis=self.cfg.mesh.data_axis)
         return ba.bundle_adjust(Rs, ts, Xs, fixed, edges, self.cam,
                                 self.cfg.solver, two_phase=two_phase)

@@ -174,13 +174,19 @@ class LoopCloser:
         # minScore = min BoW similarity vs the covisible neighborhood
         # (LoopClosing.cc:119-136)
         bow = self.kf_bow[kf]
-        min_score = 1.0
-        for nb in neighbors:
-            if int(nb) in self.kf_bow:
-                sc = voc_mod.score_l1_np(bow, self.kf_bow[int(nb)])
-                min_score = min(min_score, sc)
-        if not len(neighbors):
-            min_score = 0.05
+        # The reference's minScore is the min BoW similarity over the
+        # keyframe's covisible neighborhood, which is non-empty by
+        # construction there (every inserted KF shares points with its
+        # parent; LoopClosing.cc:119-136 iterates a non-empty vpConnected).
+        # A neighbor-free keyframe has no data-derived score floor, so any
+        # constant here would be invented — skip detection for this KF
+        # instead (the candidate gate would be meaningless without a floor,
+        # and such a KF is degenerate: it shares no landmarks with the map).
+        scores = [voc_mod.score_l1_np(bow, self.kf_bow[int(nb)])
+                  for nb in neighbors if int(nb) in self.kf_bow]
+        if not scores:
+            return np.zeros(0, np.int64)
+        min_score = min(scores)
 
         exclude = np.zeros(len(self.db.has_row), bool)
         exclude[kf] = True
