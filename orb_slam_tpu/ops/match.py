@@ -70,10 +70,16 @@ def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
 
     d1: [N, 8] uint32, d2: [M, 8] uint32 -> [N, M] int32.
 
-    Uses the MXU matmul formulation (hamming_matrix_mxu) — measured ~40x
-    faster than both the elementwise-XLA and the VMEM Pallas popcount
-    kernels at matcher sizes on TPU v5e, because the work is a dense
-    [N,256]x[256,M] contraction that belongs on the systolic array.
+    Uses the MXU matmul formulation (hamming_matrix_mxu).  Head-to-head on
+    the chip (HAMMING_r04.json, 32-application in-program scans): MXU wins
+    the live matcher shapes — 0.754 vs 0.778 (xla popcount) vs 0.757
+    (Pallas) ms at 1024x1024 and 0.734 vs 0.844 vs 0.786 ms at 1024x2048;
+    the retired Pallas kernel edged it only at 640x640 (0.694 vs 0.705).
+    The differences are 3-13%, not the "~40x" an earlier docstring claimed
+    from an unrecorded measurement — at these sizes all formulations are
+    dominated by the same [N,256]x[256,M]-scale data movement, and the MXU
+    contraction is kept for being fastest where the pipeline actually runs
+    (FORB.cpp:81-101 is the reference's scalar equivalent).
     """
     return hamming_matrix_mxu(d1, d2)
 

@@ -43,11 +43,11 @@ def timed_scan(fn, d1, d2, iters=32, reps=3):
             step, jnp.zeros((), jnp.uint32), jnp.arange(iters))
         return sums.sum()
 
-    many(d1, d2).block_until_ready()      # compile
-    best = np.inf
-    for _ in range(reps):
+    np.asarray(many(d1, d2))      # compile; np.asarray is the only honest
+    best = np.inf                 # completion barrier through the relay
+    for _ in range(reps):         # (block_until_ready can return early)
         t0 = time.perf_counter()
-        many(d1, d2).block_until_ready()
+        np.asarray(many(d1, d2))
         best = min(best, time.perf_counter() - t0)
     return best / iters * 1e3
 
@@ -66,10 +66,13 @@ def main():
              "mxu_bitmatmul": m.hamming_matrix_mxu}
     if not args.cpu:
         try:
+            # retired after losing the HAMMING_r04 head-to-head (kept
+            # importable here so the artifact can be regenerated from the
+            # commit that still carries the kernel)
             from orb_slam_tpu.ops.hamming_pallas import hamming_matrix_pallas
             cases["pallas"] = hamming_matrix_pallas
         except Exception as e:
-            print(f"# pallas unavailable: {e!r}")
+            print(f"# pallas kernel retired/unavailable: {e!r}")
 
     rng = np.random.default_rng(0)
     results = {"backend": jax.default_backend(), "iters": args.iters,
