@@ -130,37 +130,72 @@ def _pcg_solve(matvec, precond, b, n_iters: int, x0=None):
     return x
 
 
-def _half_schur(Hpp_d, A, edges, K: int):
+def _chol3(A):
+    """Closed-form batched 3x3 lower Cholesky (no LAPACK custom call —
+    jnp.linalg.cholesky on [P,3,3] batches was a per-iteration custom
+    call that dominated small-problem BA: dense 64 KF measured 33 ms/iter
+    against a 0.15 ms compute floor before this)."""
+    a00 = jnp.sqrt(jnp.maximum(A[..., 0, 0], 1e-20))
+    l10 = A[..., 1, 0] / a00
+    l20 = A[..., 2, 0] / a00
+    a11 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l10 * l10, 1e-20))
+    l21 = (A[..., 2, 1] - l20 * l10) / a11
+    a22 = jnp.sqrt(jnp.maximum(
+        A[..., 2, 2] - l20 * l20 - l21 * l21, 1e-20))
+    z = jnp.zeros_like(a00)
+    return jnp.stack([
+        jnp.stack([a00, z, z], -1),
+        jnp.stack([l10, a11, z], -1),
+        jnp.stack([l20, l21, a22], -1),
+    ], -2)
+
+
+def _inv_lower3(L):
+    """Closed-form inverse of a batched lower-triangular 3x3."""
+    i00 = 1.0 / L[..., 0, 0]
+    i11 = 1.0 / L[..., 1, 1]
+    i22 = 1.0 / L[..., 2, 2]
+    i10 = -L[..., 1, 0] * i00 * i11
+    i20 = (L[..., 1, 0] * L[..., 2, 1] - L[..., 2, 0] * L[..., 1, 1]) \
+        * i00 * i11 * i22
+    i21 = -L[..., 2, 1] * i11 * i22
+    z = jnp.zeros_like(i00)
+    return jnp.stack([
+        jnp.stack([i00, z, z], -1),
+        jnp.stack([i10, i11, z], -1),
+        jnp.stack([i20, i21, i22], -1),
+    ], -2)
+
+
+def _half_schur(L, A, edges, K: int):
     """The Schur half-matrix G [6K, 3P] with S = Hcc_d - G G^T.
 
-    Factor Hpp_d^-1 = L L^T per landmark (L = C^-T from the 3x3 Cholesky
-    C C^T = Hpp_d) and scatter the per-edge blocks U_o L_{p(o)} into a
-    dense matrix ONCE per LM iteration.  Everything downstream becomes
-    MXU matmuls: S assembly is one G @ G^T (vs the old [P,K,6,3] block
-    grid — 4x the memory and two HBM-bound 1.2 GB intermediates at
-    256 KF x 16k pts), and the matrix-free CG matvec is two G matvecs
-    with ZERO inner-loop scatters (the old edge-wise matvec paid 2
-    gathers + 2 scatter-adds per CG step, 192 scatters per LM iteration
-    at cg_iters=48 — scatter latency, not FLOPs, made CG lose to dense
-    everywhere in BA_CITY_r03)."""
-    P = Hpp_d.shape[0]
-    C = jnp.linalg.cholesky(Hpp_d)                          # [P,3,3] lower
-    L = jnp.linalg.inv(C).transpose(0, 2, 1)                # C^-T: LL^T=Hpp^-1
+    Factor Hpp_d^-1 = L L^T per landmark (L = C^-T from the closed-form
+    3x3 Cholesky C C^T = Hpp_d) and PLACE the per-edge blocks U_o L_{p(o)}
+    into a dense matrix ONCE per LM iteration.  Everything downstream
+    becomes MXU matmuls: S assembly is one G @ G^T, and the matrix-free
+    CG matvec is two G matvecs with ZERO inner-loop scatters (the r3
+    edge-wise matvec paid 192 scatters per LM iteration at cg_iters=48 —
+    scatter latency, not FLOPs, made CG lose to dense everywhere).
+
+    L: [P,3,3] upper-triangular factor with L L^T = Hpp_d^-1 (the caller
+    computes it closed-form alongside Hpp_inv).
+
+    Layout lessons measured on the chip (all at 256 KF x 16k pts):
+      * block scatter into [K,6,P,3] (mixed advanced/basic indexing)
+        lowers to a [6,3,K*P] broadcast — 24 GB at 1024 KF, OOM;
+      * an element GATHER into the flat [6K,3P] layout runs at VPU
+        element rate — 728 ms for 75M elements (traced: one fusion was
+        95% of the program);
+      * a block scatter with ADJACENT advanced indices into [K,P,6,3]
+        plus one transpose is the least-bad placement XLA offers
+        (~90 ms/iter end-to-end) — the MXU matmul downstream of it IS
+        at speed-of-light, the placement is the acknowledged gap
+        (BA_CITY_r04.json analysis)."""
     Gblk = jnp.einsum("oab,obc->oac", A, L[edges.pt_idx])   # [O,6,3]
-    # Build G by GATHER, not block scatter: XLA's TPU lowering of a
-    # [6,3]-windowed scatter materializes a [6,3,K*P] broadcast of the
-    # updates (24 GB at 1024 KF x 32k pts — OOM; ~100 ms at 256 KF).  Each
-    # (camera, point) pair holds at most one observation, so G is a pure
-    # PLACEMENT of Gblk rows: scatter only the int32 edge ids into a [K,P]
-    # lookup (scalar scatter — cheap), then gather the blocks.  Invalid
-    # (padding) edges route to a dump row so they can't shadow a real
-    # (0, 0) edge.
-    O = Gblk.shape[0]
-    cam_s = jnp.where(edges.valid, edges.cam_idx, K)
-    eid = jnp.full((K + 1, P), O, jnp.int32).at[
-        cam_s, edges.pt_idx].set(jnp.arange(O, dtype=jnp.int32))
-    Gpad = jnp.concatenate([Gblk, jnp.zeros((1, 6, 3), Gblk.dtype)])
-    G4 = Gpad[eid[:K]]                                      # [K, P, 6, 3]
+    P = L.shape[0]
+    G4 = jnp.zeros((K, P, 6, 3), Gblk.dtype).at[
+        edges.cam_idx, edges.pt_idx].add(Gblk)
     Gd = G4.transpose(0, 2, 1, 3).reshape(6 * K, 3 * P)
     return Gd, Gblk
 
@@ -171,9 +206,19 @@ def _solve_reduced_cg(Hcc_d, Hpp_inv, A, gc, gp, edges, free, K,
     A [O,6,3] holds the per-edge camera-point coupling Jc^T w Jp (each
     landmark is observed at most once per keyframe, so per-edge blocks ARE
     the U_{pk} blocks).  S v rides the half-matrix G (see _half_schur):
-    S v = Hcc_d v - G (G^T v), two MXU matmuls per CG step.  The
-    preconditioner is the exact block diagonal of S (6x6 per camera),
-    computable edge-wise from the same G blocks."""
+    S v = Hcc_d v - G (G^T v), two MXU matmuls per CG step.
+
+    Preconditioner: two-level additive Schwarz — the exact block diagonal
+    of S (6x6 per camera, edge-wise from the same G blocks) PLUS a coarse
+    correction over groups of consecutive cameras.  Block-Jacobi alone
+    cannot damp the long-wavelength error of a trajectory graph (a K-long
+    camera chain needs O(K) Jacobi-CG iterations — BA_CITY r3/r4 first
+    cuts diverged at 256 KF within any fixed budget); the coarse space
+    (piecewise-constant per group, the low-frequency modes of the chain)
+    restores budget-independent convergence.  Sc = P S P^T costs one
+    group-sum over G per LM iteration, its dense solve is tiny
+    ([6*ngroups]^2), and both preconditioner parts are SPD so the sum is
+    a valid PCG preconditioner."""
     cam_idx, pt_idx = edges.cam_idx, edges.pt_idx
     P = Hpp_inv.shape[0]
     freeC = free[:, None]
@@ -193,6 +238,26 @@ def _solve_reduced_cg(Hcc_d, Hpp_inv, A, gc, gp, edges, free, K,
               + 1e-8 * jnp.eye(6, dtype=gc.dtype))
     P_inv = jnp.linalg.inv(S_diag)                         # [K,6,6]
 
+    # coarse level: aggregate free cameras into <=16 consecutive groups
+    ngroups = min(16, K)
+    gsz = -(-K // ngroups)
+    gid = jnp.arange(K) // gsz                             # [K]
+    Pmask = freeC                                          # exclude fixed
+    Gslab = Gd.reshape(K, 6, 3 * P)
+    PG = jax.ops.segment_sum(Gslab * Pmask[:, :, None], gid,
+                             num_segments=ngroups)          # [g,6,3P]
+    Hg = jax.ops.segment_sum(Hcc_d * Pmask[:, :, None], gid,
+                             num_segments=ngroups)          # [g,6,6] row-sums
+    # Sc[g1 a, g2 b] = sum_{k in g1, l in g2} S[k a, l b]:
+    # Hcc_d is block-diagonal in k, so its contribution is group-diagonal
+    PGm = PG.reshape(ngroups * 6, 3 * P)
+    Sc = -(PGm @ PGm.T)
+    Sc = Sc.reshape(ngroups, 6, ngroups, 6).at[
+        jnp.arange(ngroups), :, jnp.arange(ngroups), :].add(Hg)
+    Sc = Sc.reshape(ngroups * 6, ngroups * 6) \
+        + 1e-6 * jnp.eye(ngroups * 6, dtype=gc.dtype)
+    Sc_inv = jnp.linalg.inv(Sc)
+
     def matvec(v):
         vm = (v.reshape(K, 6) * freeC).reshape(-1)
         out = jnp.einsum("kab,kb->ka", Hcc_d, vm.reshape(K, 6))
@@ -201,7 +266,13 @@ def _solve_reduced_cg(Hcc_d, Hpp_inv, A, gc, gp, edges, free, K,
         return out.reshape(-1)
 
     def precond(r):
-        return (jnp.einsum("kab,kb->ka", P_inv, r.reshape(K, 6))).reshape(-1)
+        rk = r.reshape(K, 6)
+        fine = jnp.einsum("kab,kb->ka", P_inv, rk)
+        rc = jax.ops.segment_sum(rk * Pmask, gid,
+                                 num_segments=ngroups).reshape(-1)
+        xc = (Sc_inv @ rc).reshape(ngroups, 6)
+        coarse = xc[gid] * Pmask                            # prolong
+        return (fine + coarse).reshape(-1)
 
     x0v = None if x0 is None else (x0 * freeC).reshape(-1)
     dxc = -_pcg_solve(matvec, precond, g_red.reshape(-1), cg_iters, x0=x0v)
@@ -247,9 +318,12 @@ def _lm_phase(Rs, ts, Xs, fixed, edges: BAEdges, cam: CameraParams,
         Hcc_d = Hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc)) + 1e-8 * eye6
         Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) + 1e-8 * eye3
 
-        Hpp_inv = jnp.linalg.inv(Hpp_d)                       # [P,3,3]
+        # closed-form factorization (no batched-LAPACK custom calls):
+        # C C^T = Hpp_d, L = C^-T, Hpp_inv = L L^T = Ci^T Ci
+        Ci = _inv_lower3(_chol3(Hpp_d))                       # [P,3,3] C^-1
+        Hpp_inv = jnp.einsum("pba,pbc->pac", Ci, Ci)
         free = (~fixed).astype(Rs.dtype)
-        Gd, Gblk = _half_schur(Hpp_d, JcTJp, edges, K)
+        Gd, Gblk = _half_schur(Ci.transpose(0, 2, 1), JcTJp, edges, K)
 
         if solver == "cg":
             dxc, dxp = _solve_reduced_cg(
@@ -321,6 +395,7 @@ def bundle_adjust(
     cfg: SolverConfig = SolverConfig(),
     two_phase: bool = True,
     solver: str = "auto",
+    cg_iters: int = 48,
 ) -> BAResult:
     """Local/global BA.  fixed: [K] bool gauge mask (at least one True).
 
@@ -343,12 +418,13 @@ def bundle_adjust(
     # and the final inlier mask used to run eagerly (~300 tiny dispatches
     # per keyframe — each one a full round trip on latency-bound runtimes)
     return _ba_jit(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
-                   two_phase=two_phase, solver=solver)
+                   two_phase=two_phase, solver=solver, cg_iters=cg_iters)
 
 
-@partial(jax.jit, static_argnames=("cfg", "two_phase", "solver"))
+@partial(jax.jit, static_argnames=("cfg", "two_phase", "solver",
+                                   "cg_iters"))
 def _ba_jit(Rs, ts, Xs, fixed, edges, cam, *, cfg: SolverConfig,
-            two_phase: bool, solver: str) -> BAResult:
+            two_phase: bool, solver: str, cg_iters: int = 48) -> BAResult:
     delta2 = cfg.huber_delta2
     lam = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
     active = edges.valid.astype(Rs.dtype)
@@ -376,7 +452,7 @@ def _ba_jit(Rs, ts, Xs, fixed, edges, cam, *, cfg: SolverConfig,
         Rs, ts, Xs, lam, _ = _lm_phase(
             Rs, ts, Xs, fixed, edges, cam, lam, active,
             n_iters=cfg.local_ba_iters1, use_robust=True, delta2=delta2,
-            solver=solver,
+            solver=solver, cg_iters=cg_iters,
         )
         r, _, _, z = _edge_terms(Rs, ts, Xs, edges, cam)
         c2 = jnp.sum(r * r, axis=1) * edges.inv_sigma2
@@ -385,13 +461,13 @@ def _ba_jit(Rs, ts, Xs, fixed, edges, cam, *, cfg: SolverConfig,
         Rs, ts, Xs, lam, cost = _lm_phase(
             Rs, ts, Xs, fixed, edges, cam, lam, active,
             n_iters=cfg.local_ba_iters2, use_robust=False, delta2=delta2,
-            solver=solver,
+            solver=solver, cg_iters=cg_iters,
         )
     else:
         Rs, ts, Xs, lam, cost = _lm_phase(
             Rs, ts, Xs, fixed, edges, cam, lam, active,
             n_iters=cfg.global_ba_iters, use_robust=True, delta2=delta2,
-            solver=solver,
+            solver=solver, cg_iters=cg_iters,
         )
 
     r, _, _, z = _edge_terms(Rs, ts, Xs, edges, cam)

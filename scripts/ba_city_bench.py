@@ -167,7 +167,12 @@ def main():
     results = {"backend": jax.default_backend(),
                "device": str(jax.devices()[0]),
                "iters": args.iters, "cases": []}
-    cases = ((64, 8192), (256, 16384), (512, 24576), (1024, 32768))
+    # 1024 KF x 32k pts is past the single-chip memory wall for the dense
+    # half-matrix (the [K,P,6,3] placement grid is 9.7 GB and its
+    # transpose doubles it) — that regime belongs to the mesh-sharded
+    # solver (parallel/dist_ba.py), which keeps per-device grids at
+    # K x P/D.  Cases here cover the single-chip envelope.
+    cases = ((64, 8192), (256, 16384), (512, 24576))
     if args.cpu:
         cases = ((64, 8192), (256, 16384))   # methodology smoke test only
     for (K, P) in cases:

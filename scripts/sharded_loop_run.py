@@ -109,7 +109,18 @@ def main():
     b, traj_b = run_loop(args.frames, args.shards, "spatial")
     print(json.dumps(b), flush=True)
 
-    # per-frame camera-center deltas on the common tracked frames
+    # per-frame camera-center deltas on the common tracked frames.
+    # NOTE on interpretation: the sharded Schur reduction sums partial
+    # camera systems in a different f32 order (and the Morton partition
+    # permutes landmarks), so each local BA differs at ~1e-6 relative;
+    # over hundreds of frames the keyframe POLICY eventually makes a
+    # different integer decision and the two maps diverge structurally.
+    # Frame-exact equality is therefore not a property either system has
+    # (the reference's own threads are timing-nondeterministic); the
+    # equality claims are (a) solver-level: identical problems solve to
+    # f32-level agreement (solver_equality below, and
+    # tests/test_dist_ba.py), and (b) system-level: both runs track the
+    # same fraction and land the same ATE.
     common = sorted(set(traj_a) & set(traj_b))
     d = []
     for f in common:
@@ -118,6 +129,24 @@ def main():
         cb = -rb.R.T @ rb.t
         d.append(np.linalg.norm(ca - cb))
     d = np.asarray(d)
+
+    # solver-level equality on ONE fixed local-BA problem
+    from orb_slam_tpu.solvers import bundle_adjust as ba_mod
+    from orb_slam_tpu.parallel import dist_ba
+    from orb_slam_tpu.geometry.camera import make_camera
+    from orb_slam_tpu.config import SolverConfig
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ba_city_bench import make_problem
+    rng = np.random.default_rng(5)
+    Rs, ts, Xs, fixed, edges, cam, _ = make_problem(rng, 32, 4096)
+    scfg = SolverConfig()
+    r1 = ba_mod.bundle_adjust(Rs, ts, Xs, fixed, edges, cam, scfg,
+                              two_phase=True, solver="dense")
+    r2 = dist_ba.bundle_adjust_dist(Rs, ts, Xs, fixed, edges, cam, scfg,
+                                    two_phase=True, n_shards=args.shards,
+                                    strategy="spatial")
+    solver_dt = float(np.abs(np.asarray(r1.t) - np.asarray(r2.t)).max())
+
     results = {
         "run": "sharded_live_loop",
         "backend": jax.default_backend(),
@@ -131,6 +160,10 @@ def main():
             "p95": round(float(np.percentile(d, 95)), 6),
             "max": round(float(d.max()), 6),
         },
+        "solver_equality_max_t_delta_m": solver_dt,
+        "ate_delta_m": None if (a["ate_rmse_sim3_m"] is None
+                                or b["ate_rmse_sim3_m"] is None) else
+        round(abs(a["ate_rmse_sim3_m"] - b["ate_rmse_sim3_m"]), 6),
         "trajectory_extent_m": 6.0,
     }
     print(json.dumps(results))
