@@ -113,12 +113,22 @@ def rotmat(axis, angle):
 
 
 def pose_at(i):
-    """Slow lateral orbit with a gentle yaw — keeps most of the world in
-    view while steadily changing the image.  Yaw rate sized so a ~300-frame
-    run stays well short of grazing the far wall (0.12 deg/frame -> 36 deg
-    at i=300 vs the 90 deg failure angle)."""
-    R = rotmat([0, 1, 0], np.radians(0.12 * i))
-    t = np.array([-0.05 * i, 0.005 * i, 0.002 * i], np.float32)
+    """Panning lateral sweep: x(t) = -1.8 sin(2*pi*i/300) m with a
+    correlated yaw — the camera scans back and forth across the walls
+    like the reference's handheld lab sequence (its rosbag loops through
+    one room, README.md:146-168), peaking at ~1.1 m/s (4-5x the TUM
+    fr1/xyz average).  The sweep keeps extending the map on each new
+    extreme (multiple forced keyframes inside any 240-frame window) while
+    revisiting covered ground in between — a trajectory one camera-rate
+    SLAM system can sustain indefinitely, unlike an open-ended
+    translation whose keyframe demand is unbounded (the r4 first cut at
+    a constant 1.5 m/s outran any mapper honoring the reference's
+    keyframe policy and measured the loss-recovery path instead of
+    tracking)."""
+    ph = 2.0 * np.pi * i / 300.0
+    R = rotmat([0, 1, 0], np.radians(-10.0 * np.sin(ph + 0.5)))
+    t = np.array([-1.8 * np.sin(ph), 0.05 * np.sin(2.3 * ph),
+                  0.3 * np.sin(0.7 * ph)], np.float32)
     return R, t
 
 
@@ -198,7 +208,7 @@ def main():
     #     timings that read as microsecond tracking).
     # Every frame is a new image; render cost is host-side scene simulation,
     # not SLAM work — pre-render.
-    n_frames = 240
+    n_frames = 300   # one full sweep period: both extremes extend the map
     frames = []
     for j in range(n_frames):
         R, t = pose_at(i + j)

@@ -389,15 +389,28 @@ class LocalMapper:
         mc = self.cfg.map
         st = smap.state
         N = st.kf_obs.shape[1]
-        K_cap = mc.local_ba_max_kfs + mc.local_ba_max_fixed
-        P_cap = mc.local_ba_max_points
 
         window = list(window)[: mc.local_ba_max_kfs]
         fixed_kfs = list(fixed_kfs)[: mc.local_ba_max_fixed]
         cams = window + fixed_kfs
         n_cam = len(cams)
 
-        point_ids = np.asarray(point_ids)[:P_cap]
+        point_ids = np.asarray(point_ids)[: mc.local_ba_max_points]
+        n_pt = len(point_ids)
+
+        # bucket the problem to its ACTUAL size (next power of two), not
+        # the configured maxima: early/sparse maps were paying the full
+        # [128 cams x 8192 pts x 131k edges] program for ~15-camera,
+        # ~2k-point windows — local BA device time scales with the padded
+        # sizes, and the keyframe-rate worker is what throttles tracking
+        # under backpressure.  A handful of pow2 compile buckets replaces
+        # one oversized one.
+        def _pow2(n, lo, hi):
+            return min(hi, max(lo, 1 << (int(n) - 1).bit_length()))
+
+        K_cap = _pow2(n_cam, 16, mc.local_ba_max_kfs + mc.local_ba_max_fixed)
+        P_cap = _pow2(n_pt, 1024, mc.local_ba_max_points)
+        point_ids = point_ids[:P_cap]
         n_pt = len(point_ids)
 
         # local index lookup over global point ids; edge packing runs in the
@@ -460,9 +473,10 @@ class LocalMapper:
         inlier-mask fetch (the previous per-keyframe .at[].set calls cost a
         fixed-latency dispatch each)."""
         st = smap.state
-        mc = self.cfg.map
-        K_cap = mc.local_ba_max_kfs + mc.local_ba_max_fixed
-        P_cap = mc.local_ba_max_points
+        # capacities of THIS problem's bucket (not the config maxima —
+        # _build_ba_problem sizes pow2 buckets by actual window content)
+        K_cap = int(res.R.shape[0])
+        P_cap = int(res.points.shape[0])
         window = book["window"]
         point_ids = book["point_ids"]
         n_w, n_pt = len(window), len(point_ids)
