@@ -185,6 +185,11 @@ class LoopCloser:
         scores = [voc_mod.score_l1_np(bow, self.kf_bow[int(nb)])
                   for nb in neighbors if int(nb) in self.kf_bow]
         if not scores:
+            # the reference clears mvConsistentGroups whenever detection
+            # yields no candidates (LoopClosing.cc:146-150); keeping stale
+            # groups here would let the consecutive-consistency gate pass
+            # across skipped keyframes (advisor r4)
+            self.consistent_groups = []
             return np.zeros(0, np.int64)
         min_score = min(scores)
 

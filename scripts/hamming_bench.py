@@ -64,18 +64,13 @@ def main():
     from orb_slam_tpu.ops import match as m
     cases = {"xla_popcount": m.hamming_matrix_xla,
              "mxu_bitmatmul": m.hamming_matrix_mxu}
-    if not args.cpu:
-        try:
-            # retired after losing the HAMMING_r04 head-to-head (kept
-            # importable here so the artifact can be regenerated from the
-            # commit that still carries the kernel)
-            from orb_slam_tpu.ops.hamming_pallas import hamming_matrix_pallas
-            cases["pallas"] = hamming_matrix_pallas
-        except Exception as e:
-            print(f"# pallas kernel retired/unavailable: {e!r}")
-
     rng = np.random.default_rng(0)
     results = {"backend": jax.default_backend(), "iters": args.iters,
+               # the Pallas kernel lost the r4 head-to-head and was deleted
+               # at commit 5588be1 (HAMMING_r04.json carries its numbers);
+               # record the retirement explicitly so regenerated artifacts
+               # don't silently drop the column match.py cites (advisor r4)
+               "pallas": "retired at 5588be1 (see HAMMING_r04.json)",
                "shapes": []}
     # live shapes: frame-vs-frame (track), frame-vs-landmark-window
     # (local-map matching), frame-vs-keyframe-row (reloc/loop)

@@ -108,3 +108,28 @@ def test_kernel_edge_keypoints(rng):
               if sum(bin(int(v)).count("1")
                      for v in np.bitwise_xor(dp[i], dx_[i])) > 2)
     assert bad == 0, bad
+
+
+def test_kernel_counts_prefix(rng):
+    """The counts fast path (extractor_batched passes the per-level valid
+    prefix length) must (a) match the full-cap run on slots [0, counts)
+    and (b) leave the skipped slots zero-initialized — callers with a
+    non-prefix valid mask would otherwise silently lose keypoints
+    (advisor r4)."""
+    stack, blurred, xy, dims = make_case(rng, cap=17)
+    counts = jnp.asarray([5, 17, 0], jnp.int32)
+    m01c, m10c, descc = orient_describe(stack, blurred, xy, dims,
+                                        counts=counts, interpret=True)
+    m01f, m10f, descf = orient_describe(stack, blurred, xy, dims,
+                                        interpret=True)
+    for li, c in enumerate(np.asarray(counts)):
+        np.testing.assert_array_equal(np.asarray(m01c)[li, :c],
+                                      np.asarray(m01f)[li, :c])
+        np.testing.assert_array_equal(np.asarray(m10c)[li, :c],
+                                      np.asarray(m10f)[li, :c])
+        np.testing.assert_array_equal(np.asarray(descc)[li, :c],
+                                      np.asarray(descf)[li, :c])
+        # skipped slots: exact zeros, not stale/garbage values
+        np.testing.assert_array_equal(np.asarray(m01c)[li, c:], 0.0)
+        np.testing.assert_array_equal(np.asarray(m10c)[li, c:], 0.0)
+        np.testing.assert_array_equal(np.asarray(descc)[li, c:], 0)
