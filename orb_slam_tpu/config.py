@@ -191,6 +191,18 @@ class SolverConfig:
     # improves (relative instead of absolute rounding).  g2o runs f64 and
     # needs no such option (SURVEY aux: f32-first design).
     ba_normalize_world: bool = False
+    # BA edge layout (bundle_adjust.BAEdges docstring): "grid" keeps the
+    # observations in the camera-major [K, N] table the map already stores
+    # — no edge compaction, no camera gathers/scatters in the LM
+    # iteration, and no two-index G block scatter (the ~24 GB lowering
+    # that killed 512-KF problems, BA_CITY_r04.json).  "flat" is the
+    # compacted edge list (required by the distributed landmark-sharded
+    # solver, which shards edges by point).  Both solve live problems to
+    # ulp-level agreement; see BA_CITY_r05.json for the measured choice.
+    ba_layout: str = "flat"
+    # grid-layout G placement: "scatter" (vmapped single-index row
+    # scatter) or "onehot" (per-camera MXU matmul) — see BA_CITY_r05.json
+    ba_placement: str = "scatter"
 
 
 @dataclasses.dataclass(frozen=True)

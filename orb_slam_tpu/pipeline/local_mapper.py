@@ -424,37 +424,72 @@ class LocalMapper:
         point_ids = point_ids[:P_cap]
         n_pt = len(point_ids)
 
-        # local index lookup over global point ids; edge packing runs in the
-        # native extension (the per-keyframe host hot path)
+        # local index lookup over global point ids
         lut = np.full(mc.max_points + 1, -1, np.int32)
         lut[point_ids] = np.arange(n_pt, dtype=np.int32)
 
         obs = smap.obs_np[cams]                           # [n_cam, N]
         kpv = smap.host["kf_kp_valid"][cams]
-        cam_idx, pt_idx, slot_idx, ev = native.pack_ba_edges(
-            np.ascontiguousarray(obs), np.ascontiguousarray(kpv), lut)
-
-        O_cap = K_cap * N
-        pad = O_cap - len(cam_idx)
-        cam_idx = np.concatenate([cam_idx, np.zeros(pad, np.int32)])
-        pt_idx = np.concatenate([pt_idx, np.zeros(pad, np.int32)])
-        slot_idx = np.concatenate([slot_idx, np.zeros(pad, np.int32)])
-        ev = np.concatenate([ev, np.zeros(pad, bool)])
-
-        uv = smap.host["kf_xy"][cams].reshape(-1, 2)
-        uv = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
-        lev = smap.host["kf_level"][cams].reshape(-1)
-        lev = np.concatenate([lev, np.zeros(pad, np.int32)])
         s2 = self.cfg.extractor.sigma2
-        inv_s2 = 1.0 / s2[np.clip(lev, 0, len(s2) - 1)]
+        layout = self.cfg.solver.ba_layout
+        if (self.cfg.mesh.data_parallel > 1
+                and len(jax.devices()) >= self.cfg.mesh.data_parallel):
+            layout = "flat"   # dist_ba shards the flat edge list by point
 
-        edges = ba.BAEdges(
-            cam_idx=jnp.asarray(cam_idx),
-            pt_idx=jnp.asarray(pt_idx),
-            uv=jnp.asarray(uv.astype(np.float32)),
-            inv_sigma2=jnp.asarray(inv_s2.astype(np.float32)),
-            valid=jnp.asarray(ev),
-        )
+        if layout == "grid":
+            # camera-major [K_cap, N] table (bundle_adjust.BAEdges GRID
+            # mode): the obs table IS the edge set — no compaction pass,
+            # and the solver runs with zero camera-indexed scatters
+            cam_pad0 = K_cap - n_cam
+            pt_loc = lut[np.where(obs >= 0, obs, mc.max_points)]
+            ev_g = (pt_loc >= 0) & kpv                    # [n_cam, N]
+            pt_g = np.where(ev_g, pt_loc, 0).astype(np.int32)
+            pt_g = np.concatenate(
+                [pt_g, np.zeros((cam_pad0, N), np.int32)])
+            ev_g = np.concatenate([ev_g, np.zeros((cam_pad0, N), bool)])
+            uv_g = np.concatenate(
+                [smap.host["kf_xy"][cams],
+                 np.zeros((cam_pad0, N, 2), np.float32)])
+            lev_g = np.concatenate(
+                [smap.host["kf_level"][cams],
+                 np.zeros((cam_pad0, N), np.int32)])
+            inv_s2 = 1.0 / s2[np.clip(lev_g, 0, len(s2) - 1)]
+            edges = ba.BAEdges(
+                cam_idx=None,
+                pt_idx=jnp.asarray(pt_g),
+                uv=jnp.asarray(uv_g.astype(np.float32)),
+                inv_sigma2=jnp.asarray(inv_s2.astype(np.float32)),
+                valid=jnp.asarray(ev_g),
+            )
+            book_edges = dict(grid=True, ev=ev_g)
+        else:
+            # flat compacted list; packing runs in the native extension
+            # (the per-keyframe host hot path)
+            cam_idx, pt_idx, slot_idx, ev = native.pack_ba_edges(
+                np.ascontiguousarray(obs), np.ascontiguousarray(kpv), lut)
+
+            O_cap = K_cap * N
+            pad = O_cap - len(cam_idx)
+            cam_idx = np.concatenate([cam_idx, np.zeros(pad, np.int32)])
+            pt_idx = np.concatenate([pt_idx, np.zeros(pad, np.int32)])
+            slot_idx = np.concatenate([slot_idx, np.zeros(pad, np.int32)])
+            ev = np.concatenate([ev, np.zeros(pad, bool)])
+
+            uv = smap.host["kf_xy"][cams].reshape(-1, 2)
+            uv = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
+            lev = smap.host["kf_level"][cams].reshape(-1)
+            lev = np.concatenate([lev, np.zeros(pad, np.int32)])
+            inv_s2 = 1.0 / s2[np.clip(lev, 0, len(s2) - 1)]
+
+            edges = ba.BAEdges(
+                cam_idx=jnp.asarray(cam_idx),
+                pt_idx=jnp.asarray(pt_idx),
+                uv=jnp.asarray(uv.astype(np.float32)),
+                inv_sigma2=jnp.asarray(inv_s2.astype(np.float32)),
+                valid=jnp.asarray(ev),
+            )
+            book_edges = dict(grid=False, slot_idx=slot_idx,
+                              cam_idx=cam_idx, ev=ev)
 
         cam_pad = K_cap - n_cam
         kf_R_m = smap.host["kf_R"]
@@ -475,7 +510,7 @@ class LocalMapper:
         ts = jnp.asarray(ts)
         Xs = jnp.asarray(Xs)
         book = dict(window=window, fixed=fixed_kfs, point_ids=point_ids,
-                    cams=cams, slot_idx=slot_idx, cam_idx=cam_idx, ev=ev)
+                    cams=cams, **book_edges)
         return Rs, ts, Xs, jnp.asarray(fixed_mask), edges, book
 
     def _write_back(self, smap: mapstore.SlamMap, res: ba.BAResult, book):
@@ -516,9 +551,19 @@ class LocalMapper:
             t_h = np.asarray(res.t)
             X_h = np.asarray(res.points)
             inl = np.asarray(res.edge_inliers)
-        bad = book["ev"] & ~inl
-        glob_cam = np.asarray(book["cams"], np.int64)[book["cam_idx"]]
-        bad_flat = glob_cam * N + book["slot_idx"].astype(np.int64)
+        if book.get("grid"):
+            # grid layout: inliers are [K_cap, N] aligned to the obs table
+            # — slot n of problem-row k IS keyframe cams[k]'s slot n
+            inl = inl.reshape(K_cap, N)
+            bad = (book["ev"] & ~inl).reshape(-1)
+            row_cam = np.zeros(K_cap, np.int64)
+            row_cam[:len(book["cams"])] = book["cams"]
+            bad_flat = (row_cam[:, None] * N
+                        + np.arange(N, dtype=np.int64)).reshape(-1)
+        else:
+            bad = book["ev"] & ~inl
+            glob_cam = np.asarray(book["cams"], np.int64)[book["cam_idx"]]
+            bad_flat = glob_cam * N + book["slot_idx"].astype(np.int64)
 
         kf_R, kf_t, mp_pos, kf_obs = _ba_write_back_jit(
             st.kf_R, st.kf_t, st.mp_pos, st.kf_obs,
@@ -628,7 +673,8 @@ class LocalMapper:
                 strategy=self.cfg.mesh.ba_strategy,
                 axis=self.cfg.mesh.data_axis)
         return ba.bundle_adjust(Rs, ts, Xs, fixed, edges, self.cam,
-                                self.cfg.solver, two_phase=two_phase)
+                                self.cfg.solver, two_phase=two_phase,
+                                placement=self.cfg.solver.ba_placement)
 
     # ------------------------------------------------------------------
     def cull_keyframes(self, smap: mapstore.SlamMap, current_kf: int) -> int:

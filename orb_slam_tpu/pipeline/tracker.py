@@ -117,6 +117,13 @@ class Tracker:
     _pipe: List[dict] = field(default_factory=list)
     _chain: Optional[dict] = None
     _force_kf: bool = False
+    # pinned keyframe schedule (replay harness): when set, NeedNewKeyFrame
+    # is exactly "frame_id in this set" — used to replay one run's
+    # insertion decisions into another so a comparison isolates the solver
+    # under test (VERDICT r4 next #6; the policy's integer decisions
+    # otherwise amplify ulp-level solver differences into structurally
+    # different maps)
+    kf_schedule: Optional[set] = None
     # micro-batching (frame_step_scan): buffered raw frames awaiting a
     # batch dispatch, and the stacked outputs holding the newest frame's
     # features (materialized lazily — slicing costs a dispatch)
@@ -659,13 +666,7 @@ class Tracker:
 
             # keyframe decision (NeedNewKeyFrame, Tracking.cc:651-689)
             self.n_ref_tracked = max(self.n_ref_tracked, n_inl)
-            frames_since = fid - self.last_kf_frame_id
-            need = (
-                frames_since >= tcfg.max_frames_between_kf
-                or (n_inl < tcfg.kf_min_tracked_ratio
-                    * max(self.n_ref_tracked, 1)
-                    and frames_since >= tcfg.min_frames_between_kf)
-            ) and n_inl >= tcfg.kf_min_tracked
+            need = self._need_kf(fid, n_inl)
             if need:
                 am = self.async_mapper
                 if am is not None and am.busy:
@@ -767,12 +768,7 @@ class Tracker:
 
         # keyframe decision (NeedNewKeyFrame, Tracking.cc:651-689)
         self.n_ref_tracked = max(self.n_ref_tracked, n_inl)
-        frames_since = fid - self.last_kf_frame_id
-        need = (
-            frames_since >= tcfg.max_frames_between_kf
-            or (n_inl < tcfg.kf_min_tracked_ratio * max(self.n_ref_tracked, 1)
-                and frames_since >= tcfg.min_frames_between_kf)
-        ) and n_inl >= tcfg.kf_min_tracked
+        need = self._need_kf(fid, n_inl)
         if need:
             am = self.async_mapper
             if am is not None and am.busy:
@@ -789,6 +785,21 @@ class Tracker:
                     # synchronous mapping moved landmark pools/poses:
                     # rebuild the dispatch chain from the committed state
                     self._chain = None
+
+
+    def _need_kf(self, fid: int, n_inl: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:651-689), or the pinned schedule
+        when one is installed (see kf_schedule)."""
+        tcfg = self.cfg.tracker
+        if self.kf_schedule is not None:
+            return fid in self.kf_schedule
+        frames_since = fid - self.last_kf_frame_id
+        return (
+            frames_since >= tcfg.max_frames_between_kf
+            or (n_inl < tcfg.kf_min_tracked_ratio
+                * max(self.n_ref_tracked, 1)
+                and frames_since >= tcfg.min_frames_between_kf)
+        ) and n_inl >= tcfg.kf_min_tracked
 
     def _abort_pipe(self):
         """After a loss/reset detected at retire time: frames dispatched
@@ -1184,12 +1195,7 @@ class Tracker:
         # reference count equals the tracking yield, and our running max
         # keeps the trigger live as the map grows between keyframes).
         self.n_ref_tracked = max(self.n_ref_tracked, n_inl)
-        frames_since = self.frame_id - self.last_kf_frame_id
-        need = (
-            frames_since >= tcfg.max_frames_between_kf
-            or (n_inl < tcfg.kf_min_tracked_ratio * max(self.n_ref_tracked, 1)
-                and frames_since >= tcfg.min_frames_between_kf)
-        ) and n_inl >= tcfg.kf_min_tracked
+        need = self._need_kf(self.frame_id, n_inl)
         if need:
             am = self.async_mapper
             if am is not None and am.busy:

@@ -129,8 +129,14 @@ def default_vocab100k():
 
 
 def run_endurance(n_frames=2000, frames_per_lap=400, max_keyframes=48,
-                  frame_batch=4, seed=7, verbose=True, vocab_path=""):
-    """Returns the results dict (and leaves the System shut down)."""
+                  frame_batch=4, seed=7, verbose=True, vocab_path="",
+                  blackout=None):
+    """Returns the results dict (and leaves the System shut down).
+
+    blackout=(start_frame, n): feed n featureless frames starting at
+    start_frame — a forced tracking loss (lens-cap event) that the system
+    must survive via relocalization against the existing map
+    (Tracking.cc:254-270 LOST -> Relocalization)."""
     from orb_slam_tpu.pipeline.system import System
 
     rng = np.random.default_rng(seed)
@@ -144,7 +150,11 @@ def run_endurance(n_frames=2000, frames_per_lap=400, max_keyframes=48,
     loop_frames = []
     t0 = time.perf_counter()
     for i, (R, t) in enumerate(poses):
-        img = render_image(X, patches, R, t, K)
+        if blackout and blackout[0] <= i < blackout[0] + blackout[1]:
+            # featureless gray + faint noise: FAST finds nothing usable
+            img = (120.0 + rng.normal(0, 2.0, (480, 640))).astype(np.float32)
+        else:
+            img = render_image(X, patches, R, t, K)
         m = system.process_image(img, timestamp=i / 30.0)
         ev = m.get("event")
         if ev:
@@ -189,6 +199,7 @@ def run_endurance(n_frames=2000, frames_per_lap=400, max_keyframes=48,
         # the final map)
         "events": events,
         "event_counts": {k: len(v) for k, v in events.items()},
+        "blackout": blackout,
         "ate_rmse_sim3_m": None if ate is None else round(float(ate), 4),
         "vocab_path": vocab_path or "(in-situ trained)",
         "vocab_n_words": (None if system.tracker.loop_closer.voc is None
@@ -209,6 +220,9 @@ def main():
     ap.add_argument("--frame-batch", type=int, default=4)
     ap.add_argument("--out", default="RESULTS_r03.json")
     ap.add_argument("--traj-out", default="")
+    ap.add_argument("--blackout", default="",
+                    help="START:N -- N featureless frames at START "
+                         "(forced loss; the run must relocalize)")
     ap.add_argument("--vocab", default=None,
                     help="vocabulary file (.npz or ORBvoc.txt); default = "
                          "shipped vocab100k.npz, '' = train in-situ")
@@ -218,10 +232,12 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     vocab = default_vocab100k() if args.vocab is None else args.vocab
+    blackout = (tuple(int(x) for x in args.blackout.split(":"))
+                if args.blackout else None)
     results, system = run_endurance(
         n_frames=args.frames, frames_per_lap=args.frames_per_lap,
         max_keyframes=args.max_keyframes, frame_batch=args.frame_batch,
-        vocab_path=vocab)
+        vocab_path=vocab, blackout=blackout)
     if args.traj_out:
         system.save_trajectory(args.traj_out)
         results["trajectory_file"] = args.traj_out

@@ -87,6 +87,41 @@ def test_revisit_margin_at_1m_words(voc1m):
     assert scores[2] > 5 * others, scores
 
 
+def test_revisit_margin_real_descriptors(voc1m):
+    """Revisit margin on REAL front-end descriptors from the trainer's own
+    corpus distribution (scripts/train_vocabulary.render_patch_world ->
+    FAST + IC-angle + steered BRIEF), not uniform-random bits: ORB
+    descriptors are highly correlated (VERDICT r4 weak #6), which is what
+    actually stresses a vocabulary's discrimination.  A scene re-observed
+    under fresh sensor noise and a small brightness shift must outscore
+    every unrelated scene (KeyFrameDatabase.cc:75-196 gates)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "scripts"))
+    from train_vocabulary import render_patch_world, extract_descs
+
+    rng = np.random.default_rng(3)
+    voc_np = voc_mod.to_numpy(voc1m)
+    imgs = [render_patch_world(rng) for _ in range(4)]
+    descs = [extract_descs(img) for img in imgs]
+    for d in descs:
+        assert len(d) > 300, len(d)   # the front end found real corners
+    bows = [voc_mod.transform_np(voc_np, d, np.ones(len(d), bool))
+            for d in descs]
+
+    for qi in range(4):
+        revisit = imgs[qi] * 1.03 + rng.normal(0, 2.5, imgs[qi].shape)
+        dq = extract_descs(revisit.astype(np.float32))
+        bq = voc_mod.transform_np(voc_np, dq, np.ones(len(dq), bool))
+        scores = [voc_mod.score_l1_np(bq, b) for b in bows]
+        assert int(np.argmax(scores)) == qi, scores
+        others = max(s for i, s in enumerate(scores) if i != qi)
+        # real-descriptor margin is narrower than the rand_desc test's 5x
+        # (correlated bits collide in shared words) but must stay decisive
+        assert scores[qi] > 2 * others, (qi, scores)
+
+
 def test_loader_on_hand_authored_file(tmp_path):
     """load_orbvoc_text on a file written by HAND (not by save_orbvoc_text):
     a k=2 / L=2 tree in the DBoW2 text format, with structure and scores
