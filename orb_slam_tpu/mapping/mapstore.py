@@ -474,14 +474,13 @@ class SlamMap:
         self.n_mp += n_new
         return ids
 
-    def add_points_from_kf(self, pos, kf: int, valid_mask,
-                           pos_np: Optional[np.ndarray] = None
-                           ) -> np.ndarray:
-        """add_points specialized for triangulation: descriptors come from
-        keyframe kf's slot rows IN-PROGRAM (desc[i] = kf_desc[kf, i]),
-        normals/bands zeroed for the next point_stats refresh.  One fused
-        dispatch — the generic path's eager kf_desc[kf] slice, zeros_like
-        and full(inf) cost a round trip each at keyframe rate."""
+    def alloc_point_ids(self, valid_mask) -> tuple:
+        """Host-side id allocation for a batch of new points: compaction
+        when the pool would overflow, then capping and sequential ids.
+        Returns (ids [M] int32 with -1 on unallocated slots, m [M] bool
+        final allocation mask).  Mirrors/pools are untouched — pair with
+        _add_points_from_kf_jit (or a fused program embedding it) and
+        note_points_added."""
         m = np.asarray(valid_mask).copy()
         n_new = int(m.sum())
         if self.n_mp + n_new > self.cfg.max_points:
@@ -492,15 +491,31 @@ class SlamMap:
             n_new = int(m.sum())
         ids = np.full(m.shape[0], -1, np.int32)
         ids[m] = self.n_mp + np.arange(n_new, dtype=np.int32)
+        return ids, m
+
+    def note_points_added(self, ids, m, kf: int, pos_np: np.ndarray):
+        """Host-mirror bookkeeping for points a DEVICE program just added
+        (the program embedded _add_points_from_kf_jit's update)."""
+        self.mp_valid_np[ids[m]] = True
+        self.host["mp_pos"][ids[m]] = np.asarray(pos_np)[m]
+        self.host["mp_first_kf"][ids[m]] = kf
+        self.n_mp += int(m.sum())
+
+    def add_points_from_kf(self, pos, kf: int, valid_mask,
+                           pos_np: Optional[np.ndarray] = None
+                           ) -> np.ndarray:
+        """add_points specialized for triangulation: descriptors come from
+        keyframe kf's slot rows IN-PROGRAM (desc[i] = kf_desc[kf, i]),
+        normals/bands zeroed for the next point_stats refresh.  One fused
+        dispatch — the generic path's eager kf_desc[kf] slice, zeros_like
+        and full(inf) cost a round trip each at keyframe rate."""
+        ids, m = self.alloc_point_ids(valid_mask)
         self.state = _add_points_from_kf_jit(
             self.state,
             jnp.asarray(np.where(m, ids, self.cfg.max_points)),
             jnp.asarray(m), pos, np.int32(kf))
-        self.mp_valid_np[ids[m]] = True
-        self.host["mp_pos"][ids[m]] = np.asarray(
-            pos if pos_np is None else pos_np)[m]
-        self.host["mp_first_kf"][ids[m]] = kf
-        self.n_mp += n_new
+        self.note_points_added(ids, m, kf,
+                               np.asarray(pos if pos_np is None else pos_np))
         return ids
 
     def set_observations(self, kf_id: int, slot_idx, point_ids):

@@ -15,6 +15,7 @@ compiles exactly once.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -79,10 +80,14 @@ class LocalMapper:
         # 190-218 — normals/bands are refreshed after triangulation below)
         with _timer.stage("mapping", "cullPoints"):
             metrics["culled_points"] = self.cull_points(smap, kf)
+        self._stats_fresh = False
         with _timer.stage("mapping", "triangulate"):
             metrics["new_points"] = self.triangulate_new_points(smap, kf)
-        with _timer.stage("mapping", "pointStats"):
-            self.refresh_point_stats(smap)
+        if not self._stats_fresh:
+            # nothing was triangulated, so the fused commit (which embeds
+            # the stats refresh) did not run — refresh standalone
+            with _timer.stage("mapping", "pointStats"):
+                self.refresh_point_stats(smap)
         with _timer.stage("mapping", "fuse"):
             metrics["fused"] = self.fuse_neighbors(smap, kf)
         with _timer.stage("mapping", "pointStats"):
@@ -182,19 +187,38 @@ class LocalMapper:
         ok = blob[:, 0] > 0
         if not ok.any():
             return 0
-        if smap.n_mp + int(ok.sum()) > self.cfg.map.max_points:
-            ok = ok & (np.cumsum(ok) <= self.cfg.map.max_points - smap.n_mp)
-        ids = smap.add_points_from_kf(
-            res.X, kf, ok, pos_np=np.ascontiguousarray(blob[:, 1:4]))
-        slots1 = np.where(ok)[0]
+        ids, m = smap.alloc_point_ids(ok)
+        slots1 = np.where(m)[0]
         slots2 = blob[slots1, 4].astype(np.int32)
         nb_of = blob[slots1, 5].astype(np.int32)
-        # one batched commit: kf rows + each winning neighbor's row
-        smap.set_observations_multi(
-            np.concatenate([np.full(len(slots1), kf, np.int32), nb_of]),
-            np.concatenate([slots1.astype(np.int32), slots2]),
-            np.concatenate([ids[slots1], ids[slots1]]))
-        return int(ok.sum())
+        # ONE program commits everything downstream of the fetch: point
+        # insertion, kf + winning-neighbor observation rows, AND the
+        # post-insert point_stats refresh (normals/bands) — previously 3
+        # dispatches (add / set-obs / stats), each a full relay round trip
+        # at keyframe rate
+        kf_ids = np.concatenate([np.full(len(slots1), kf, np.int32), nb_of])
+        slot_idx = np.concatenate([slots1.astype(np.int32), slots2])
+        pids = np.concatenate([ids[slots1], ids[slots1]])
+        M = len(kf_ids)
+        cap = mapstore.SlamMap._OBS_MULTI_CAP
+        pad = cap - M
+        smap.state = _commit_triangulation_jit(
+            smap.state,
+            jnp.asarray(np.where(m, ids, self.cfg.map.max_points)),
+            jnp.asarray(m), res.X, np.int32(kf),
+            jnp.asarray(np.concatenate([kf_ids, np.zeros(pad, np.int32)])),
+            jnp.asarray(np.concatenate([slot_idx,
+                                        np.zeros(pad, np.int32)])),
+            jnp.asarray(np.concatenate([pids, np.zeros(pad, np.int32)])),
+            jnp.asarray(np.concatenate([np.ones(M, bool),
+                                        np.zeros(pad, bool)])),
+            n_levels=self.cfg.extractor.n_levels,
+            scale_factor=self.cfg.extractor.scale_factor)
+        smap.note_points_added(ids, m, kf,
+                               np.ascontiguousarray(blob[:, 1:4]))
+        smap.obs_np[kf_ids, slot_idx] = pids
+        self._stats_fresh = True
+        return int(m.sum())
 
     def fuse_neighbors(self, smap: mapstore.SlamMap, kf: int,
                        max_neighbors: int | None = None,
@@ -805,6 +829,27 @@ class LocalMapper:
         smap.set_kf_obs(obs)
         smap.set_mp_valid(valid & ~bad)
         return int(bad.sum())
+
+
+
+@partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def _commit_triangulation_jit(s, dev_ids, m, pos, kf,
+                              obs_kf_ids, obs_slots, obs_pids, obs_valid,
+                              *, n_levels: int, scale_factor: float):
+    """Triangulation commit in ONE program: insert the new points
+    (mapstore._add_points_from_kf_jit), write the kf/neighbor observation
+    rows (_set_obs_flat_jit), and refresh point_stats on the updated map
+    — previously three keyframe-rate dispatches, each a full relay round
+    trip (scripts/mapping_profile.py)."""
+    s = mapstore._add_points_from_kf_jit(s, dev_ids, m, pos, kf)
+    s = s._replace(kf_obs=mapstore._set_obs_flat_jit(
+        s.kf_obs, obs_kf_ids, obs_slots, obs_pids, obs_valid))
+    normal, min_d, max_d = mk.point_stats(
+        s.kf_obs, s.kf_R, s.kf_t, s.kf_level, s.kf_valid,
+        s.mp_pos, s.mp_valid, s.mp_ref_kf,
+        n_levels=n_levels, scale_factor=scale_factor)
+    return s._replace(mp_normal=normal, mp_min_dist=min_d,
+                      mp_max_dist=max_d)
 
 
 @jax.jit

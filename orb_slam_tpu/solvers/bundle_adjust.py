@@ -525,6 +525,17 @@ def bundle_adjust(
     memory limits."""
     if solver == "auto":
         solver = "dense"
+    # fail BEFORE tracing when the half-matrix itself cannot fit (advisor
+    # r4): both single-chip solvers materialize G [6K,3P] f32, so beyond
+    # ~half of HBM the right tool is the mesh-sharded solver, whose
+    # per-device slab is G/D (parallel/dist_ba.bundle_adjust_dist)
+    g_bytes = 6 * int(Rs.shape[0]) * 3 * int(Xs.shape[0]) * 4
+    if g_bytes > 8 << 30:
+        raise ValueError(
+            f"single-chip BA half-matrix G would be {g_bytes / 2**30:.1f} "
+            f"GiB (K={Rs.shape[0]}, P={Xs.shape[0]}) — beyond the HBM "
+            "budget on one chip; use parallel.dist_ba.bundle_adjust_dist "
+            "(landmark-sharded: per-device slab is G/n_shards)")
     # the WHOLE schedule is one device program: the inter-phase chi2 gate
     # and the final inlier mask used to run eagerly (~300 tiny dispatches
     # per keyframe — each one a full round trip on latency-bound runtimes)
