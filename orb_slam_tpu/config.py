@@ -203,6 +203,17 @@ class SolverConfig:
     # grid-layout G placement: "scatter" (vmapped single-index row
     # scatter) or "onehot" (per-camera MXU matmul) — see BA_CITY_r05.json
     ba_placement: str = "scatter"
+    # Matmul precision for every BA contraction (J^T W J assembly, Schur
+    # G G^T, reduced solves).  The TPU default lowers f32 matmuls to
+    # single-pass bf16 products; measured on-chip that plateaus LM ~77%
+    # above the f32 optimum (final cost 32.5k vs 18.3k at 64 KF x 8k pts)
+    # while costing nothing to fix — BA is dispatch-latency-bound, the
+    # extra MXU passes hide under the per-call floor (BA_PRECISION_r05.
+    # json).  'float32' == Precision.HIGHEST; the CPU backend is f32
+    # natively and ignores it.  The reference runs g2o in f64
+    # (solvers/cholmod, BlockSolver typedefs) — this is the TPU-native
+    # equivalent of that accuracy contract.
+    ba_matmul_precision: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -378,7 +378,12 @@ def bundle_adjust_sharded(
                           (prob.Xs, prob.cam_idx, prob.pt_idx, prob.uv,
                            prob.inv_sigma2, prob.valid))
         args = (rep[0], rep[1], *shd, rep[2], rep[3])
-    return run(*args)
+    # same accuracy contract as the single-device solver: trace every
+    # shard-local contraction at cfg.ba_matmul_precision (the TPU default
+    # bf16 passes plateau LM far above the f32 optimum,
+    # BA_PRECISION_r05.json)
+    with jax.default_matmul_precision(cfg.ba_matmul_precision):
+        return run(*args)
 
 
 def bundle_adjust_dist(

@@ -504,25 +504,30 @@ def bundle_adjust(
     solver: str = "auto",
     cg_iters: int = 48,
     placement: str = "scatter",
+    phase2: bool = True,
 ) -> BAResult:
     """Local/global BA.  fixed: [K] bool gauge mask (at least one True).
 
     two_phase=True follows the reference local-BA schedule (5 its, outlier
     edge removal at chi2 > 5.991 or z<=0, 10 more its).  two_phase=False runs
     cfg.global_ba_iters robust iterations (init/global BA,
-    Optimizer.cc:38-152).
+    Optimizer.cc:38-152).  phase2=False is the aborted schedule — the
+    reference polls mbAbortBA between the optimize(5) and optimize(10)
+    calls (src/Optimizer.cc:450-494), so an interrupted local BA still
+    delivers the first 5 robust iterations and the outlier gate.
 
     solver: both paths ride the Schur half-matrix G [6K,3P] with
     S = Hcc - G G^T (see _half_schur).  "dense" assembles S with one MXU
     matmul and solves the reduced [6K,6K] system exactly — O(P K^2) FLOPs
     per iteration; "cg" never forms S and runs warm-started two-level
     PCG whose matvecs are two G matmuls.  Measured reality
-    (BA_CITY_r04.json): dense wins BOTH ms/iter and final cost at every
-    size that compiles (64 KF: 19.6 vs 27.5 ms/iter; 256 KF: 61.7 vs
-    138.4) — no crossover exists, so "auto" is dense at every K.  CG is
-    kept for the sharded solver (dist_ba), where the [6K,6K] dense S
-    would be the psum payload, and as the fallback beyond dense-Cholesky
-    memory limits."""
+    (BA_CITY_r05.json, float32 precision): CG now matches dense's final
+    cost exactly at every size that compiles (r4's cost gap was a bf16-
+    matmul-precision artifact) but still loses ms/iter everywhere
+    (64 KF: 29.4 vs 21.5; 256 KF: 144.4 vs 72.6) — no crossover exists,
+    so "auto" is dense at every K.  CG is kept for the sharded solver
+    (dist_ba), where the [6K,6K] dense S would be the psum payload, and
+    as the fallback beyond dense-Cholesky memory limits."""
     if solver == "auto":
         solver = "dense"
     # fail BEFORE tracing when the half-matrix itself cannot fit (advisor
@@ -538,17 +543,22 @@ def bundle_adjust(
             "(landmark-sharded: per-device slab is G/n_shards)")
     # the WHOLE schedule is one device program: the inter-phase chi2 gate
     # and the final inlier mask used to run eagerly (~300 tiny dispatches
-    # per keyframe — each one a full round trip on latency-bound runtimes)
-    return _ba_jit(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
-                   two_phase=two_phase, solver=solver, cg_iters=cg_iters,
-                   placement=placement)
+    # per keyframe — each one a full round trip on latency-bound runtimes).
+    # Traced under the configured matmul precision: the TPU default (bf16
+    # single-pass) plateaus LM ~77% above the f32 optimum at zero wall
+    # benefit (BA_PRECISION_r05.json; the precision state is part of the
+    # jit cache key, so mixed-precision callers don't collide)
+    with jax.default_matmul_precision(cfg.ba_matmul_precision):
+        return _ba_jit(Rs, ts, Xs, fixed, edges, cam, cfg=cfg,
+                       two_phase=two_phase, solver=solver, cg_iters=cg_iters,
+                       placement=placement, phase2=phase2)
 
 
 @partial(jax.jit, static_argnames=("cfg", "two_phase", "solver",
-                                   "cg_iters", "placement"))
+                                   "cg_iters", "placement", "phase2"))
 def _ba_jit(Rs, ts, Xs, fixed, edges, cam, *, cfg: SolverConfig,
             two_phase: bool, solver: str, cg_iters: int = 48,
-            placement: str = "scatter") -> BAResult:
+            placement: str = "scatter", phase2: bool = True) -> BAResult:
     delta2 = cfg.huber_delta2
     lam = jnp.asarray(cfg.lm_lambda_init, Rs.dtype)
     active = edges.valid.astype(Rs.dtype)
@@ -583,11 +593,17 @@ def _ba_jit(Rs, ts, Xs, fixed, edges, cam, *, cfg: SolverConfig,
         c2 = jnp.sum(r * r, axis=-1) * edges.inv_sigma2
         inl = edges.valid & (c2 <= cfg.local_ba_chi2) & (z > 0)
         active = inl.astype(Rs.dtype)
-        Rs, ts, Xs, lam, cost = _lm_phase(
-            Rs, ts, Xs, fixed, edges, cam, lam, active,
-            n_iters=cfg.local_ba_iters2, use_robust=False, delta2=delta2,
-            solver=solver, cg_iters=cg_iters, placement=placement,
-        )
+        if phase2:
+            Rs, ts, Xs, lam, cost = _lm_phase(
+                Rs, ts, Xs, fixed, edges, cam, lam, active,
+                n_iters=cfg.local_ba_iters2, use_robust=False, delta2=delta2,
+                solver=solver, cg_iters=cg_iters, placement=placement,
+            )
+        else:
+            # aborted between phases (mbAbortBA): keep phase-1's state;
+            # the cost is the gated chi2 sum at that state (same
+            # convention as _robust_cost's inlier regime, rho = chi2)
+            cost = jnp.sum(jnp.where(inl, c2, 0.0))
     else:
         Rs, ts, Xs, lam, cost = _lm_phase(
             Rs, ts, Xs, fixed, edges, cam, lam, active,

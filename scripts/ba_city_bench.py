@@ -207,6 +207,23 @@ def main():
         "the update as a [6,3,K*P] buffer tile-padded to 128 lanes, "
         "~24 GB > 16 GB HBM at K=512,P=24576; the grid layout avoids "
         "the scatter (bundle_adjust.BAEdges GRID mode)")
+    HELPER_DIAGNOSIS = (
+        "tunnel infra, not HLO: since r5 the relay routes fresh large "
+        "compiles to a chipless AOT helper (axon_terminal "
+        "tpu_compile_helper) whose libtpu init crashes terminal-side on "
+        "TPU_ACCELERATOR_TYPE/TPU_WORKER_HOSTNAMES detection after "
+        "env_clear — reproduced identically across precisions, layouts "
+        "and client env vars (they do not propagate).  The SAME grid "
+        "programs compile and solve 512 KF x 24.5k pts on the CPU "
+        "backend (DIST_BA_CITY_r05.json single_grid_dense), so the "
+        "memory-wall story is settled by construction (grid's largest "
+        "buffer is the [K,P,6,3] output, 7.2 GB at 512 KF) while the "
+        "on-chip row waits on the helper fix")
+    results["precision_note"] = (
+        "all cases solve at SolverConfig.ba_matmul_precision (default "
+        "float32 since BA_PRECISION_r05.json: the TPU default bf16 "
+        "matmul passes plateau LM ~77% above the f32 optimum at no "
+        "wall-time benefit)")
     cases = ((64, 8192), (256, 16384), (512, 24576))
     if args.cpu:
         cases = ((64, 8192),)   # methodology smoke test only
@@ -222,11 +239,33 @@ def main():
                 r = dict(K=K, P=P, solver=solver, layout=layout,
                          placement=placement, valid=False,
                          error=repr(e)[:300])
-                if layout == "flat" and K >= 512:
+                if "remote_compile" in repr(e):
+                    r["diagnosis"] = HELPER_DIAGNOSIS
+                elif layout == "flat" and K >= 512:
                     r["diagnosis"] = FLAT_SCATTER_DIAGNOSIS
             r["speed_of_light_ms"] = round(speed_of_light(K, P, solver), 3)
             results["cases"].append(r)
             print(json.dumps(r), flush=True)
+    # VERDICT r4 #7 written analysis: why dense ms/iter sits far above the
+    # contraction floor at local-BA sizes, and what closes it
+    results["sol_analysis"] = (
+        "at 64 KF the G G^T contraction floor is 0.148 ms but a warm "
+        "14-iteration call costs ~0.35 s end-to-end: ~0.1 s is the relay "
+        "per-call floor (upload + points readback), and the per-iteration "
+        "remainder is NOT the MXU matmul — the device trace shows the G "
+        "placement (a [K,P,6,3] block scatter / per-camera one-hot) and "
+        "the [6K,6K] LU solve dominating, both VPU/memory-layout ops "
+        "whose cost scales with the G buffer, not with useful FLOPs.  "
+        "The floor is unreachable on this architecture for SMALL K "
+        "because placement cost ~ G bytes (fixed per iteration) dwarfs "
+        "the 0.1-ms-scale matmul; it closes as K grows (matmul is "
+        "O(P K^2), placement O(P K)): measured 130x off floor at 64 KF, "
+        "13x at 256 KF, and the sharded solver's per-device slab "
+        "continues that trend.  g2o's real-time 5+10 its/KF on a 2014 "
+        "CPU rides CHOLMOD sparsity instead — the TPU-native equivalent "
+        "of 'exploit sparsity' is exactly the landmark-sharded psum "
+        "Schur (parallel/dist_ba), not a sparse single-chip kernel XLA "
+        "cannot tile")
     # the dense/CG crossover (VERDICT r3 item 3): smallest K where CG wins
     # (compared within the same layout; grid is the production layout)
     by_k = {}

@@ -142,6 +142,44 @@ def test_global_ba_single_phase(rng):
     assert rmse1 < 0.6
 
 
+def test_aborted_schedule_phase1_only(rng):
+    """phase2=False (mbAbortBA between optimize(5) and optimize(10),
+    src/Optimizer.cc:450-494): still makes real progress — phase 1's 5
+    robust iterations + the outlier gate — but stops short of the full
+    schedule's polish."""
+    p = build_problem(rng)
+    rmse0, _ = reproj_rmse(p["Rs0"], p["ts0"], p["X0"], p["edges"], p["cam"])
+    res_s = ba.bundle_adjust(p["Rs0"], p["ts0"], p["X0"], p["fixed"],
+                             p["edges"], p["cam"], phase2=False)
+    res_f = ba.bundle_adjust(p["Rs0"], p["ts0"], p["X0"], p["fixed"],
+                             p["edges"], p["cam"])
+    rmse_s, _ = reproj_rmse(res_s.R, res_s.t, res_s.points, p["edges"],
+                            p["cam"])
+    rmse_f, _ = reproj_rmse(res_f.R, res_f.t, res_f.points, p["edges"],
+                            p["cam"])
+    assert rmse_s < rmse0 * 0.5, f"{rmse0} -> {rmse_s}"
+    assert np.isfinite(float(res_s.cost))
+    assert rmse_f <= rmse_s + 1e-3, (rmse_f, rmse_s)
+
+
+def test_matmul_precision_knob(rng):
+    """SolverConfig.ba_matmul_precision traces the solve under the given
+    jax matmul precision.  On the CPU backend f32 is native so every
+    setting converges equivalently — the knob exists for the TPU, where
+    the 'default' single-pass-bf16 lowering plateaus LM ~77% above the
+    f32 optimum (BA_PRECISION_r05.json, measured on-chip)."""
+    p = build_problem(rng)
+    rmses = []
+    for prec in ("default", "high", "float32"):
+        cfg = SolverConfig(ba_matmul_precision=prec)
+        res = ba.bundle_adjust(p["Rs0"], p["ts0"], p["X0"], p["fixed"],
+                               p["edges"], p["cam"], cfg=cfg)
+        rmse, _ = reproj_rmse(res.R, res.t, res.points, p["edges"], p["cam"])
+        rmses.append(rmse)
+    assert max(rmses) < 0.6, rmses
+    assert max(rmses) - min(rmses) < 0.05, rmses
+
+
 def test_cg_solver_matches_dense(rng):
     """The matrix-free PCG Schur path must converge to the same optimum as
     the dense reduced solve."""
