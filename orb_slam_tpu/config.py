@@ -140,6 +140,33 @@ class TrackerConfig:
     # (tunneled/multi-tenant accelerators) at the price of up to B-1 frames
     # of keyframe-decision lag.  1 = per-frame dispatch (lowest latency).
     frame_batch: int = 1
+    # keyframe-pressure release toward the busy mapping worker: a need
+    # while the worker is busy signals it to drop the pending local BA
+    # (InterruptBA/mbAbortBA, src/Tracking.cc:679-685), and a starved
+    # forced insertion marks a queued keyframe so fuse+BA+culling are
+    # skipped for the in-flight job (the CheckNewKeyFrames gate,
+    # src/LocalMapping.cc:58-66).
+    #
+    # Default OFF — the reference's valve does not transplant as a
+    # default onto a batched mapper: its LocalMapping pass is per-KF and
+    # an abort loses milliseconds of BA, while this worker's pass is the
+    # whole ~1 s cull/triangulate/fuse/BA cycle, so under sustained
+    # pressure nearly every pass sheds its BA+culling tail and the map
+    # never gets optimized or pruned.  Measured on the 700-frame
+    # endurance world (idle box, frame_batch=4): ON -> ATE 0.57 m,
+    # 0 keyframe culls; OFF -> ATE 0.022 m, 6 cull-driven compactions.
+    # ON remains the right trade for latency-critical deployments where
+    # a starved tracker must never wait a full mapping pass.
+    interrupt_ba: bool = False
+    # Pin the mapping worker's visible service interval to exactly N
+    # poll() calls (= N tracked frames): 0 = live wall-clock timing
+    # (production); > 0 makes long async runs bit-reproducible across
+    # machines/loads/compile-cache states (AsyncMapper.service_polls —
+    # the endurance suite's chaotic trajectories flipped on ulp-level
+    # timing shifts before this).  Deterministic-schedule testing is the
+    # functional answer to the reference's mutex/race surface
+    # (SURVEY.md §5.2).
+    mapper_service_polls: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,14 +66,34 @@ class MappingResult:
 
 
 class AsyncMapper:
-    """Single-worker mapping thread with a one-deep submission queue."""
+    """Single-worker mapping thread with a one-deep submission queue.
 
-    def __init__(self, local_mapper, loop_closer):
+    service_polls > 0 pins the worker's VISIBLE service interval to
+    exactly that many poll() calls (= tracked frames, since the tracker
+    polls once per frame): poll() withholds the result until the N-th
+    call after submit, then blocks for it if the thread hasn't finished.
+    Real wall-clock timing makes the commit schedule — and therefore
+    every keyframe decision downstream — a function of machine load and
+    compile-cache state; pinning it makes long pipeline runs bit-
+    reproducible across machines (the endurance suite's trajectories
+    flipped between cache-warm and cache-cold runs of the same build
+    before this).  0 = live timing.  flush() (the starved-tracker drain,
+    Tracking.cc:679-685 analog) bypasses the pin by design."""
+
+    def __init__(self, local_mapper, loop_closer, service_polls: int = 0):
         self.local_mapper = local_mapper
         self.loop_closer = loop_closer
         self._in: "queue.Queue" = queue.Queue(maxsize=1)
         self._out: "queue.Queue" = queue.Queue(maxsize=1)
         self._busy = False
+        self._service_polls = int(service_polls)
+        self._polls_since_submit = 0
+        # keyframe-pressure signals from the tracker (the reference's
+        # InterruptBA / CheckNewKeyFrames pair — see
+        # LocalMapper.process_keyframe): set while a job is in flight,
+        # cleared on the next submission
+        self.interrupt_ba = threading.Event()
+        self.kf_queued = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -84,11 +104,22 @@ class AsyncMapper:
     def submit(self, smap: mapstore.SlamMap, kf: int):
         assert not self._busy, "submit while busy (backpressure violated)"
         self._busy = True
+        self.interrupt_ba.clear()
+        self.kf_queued.clear()
+        self._polls_since_submit = 0
         snap = snapshot_map(smap)
         self._in.put((snap, kf, smap.state.mp_visible, smap.state.mp_found))
 
     def poll(self) -> Optional[MappingResult]:
-        """Non-blocking: the finished result, or None."""
+        """Non-blocking: the finished result, or None.  Under a pinned
+        service interval (service_polls > 0) the result becomes visible
+        at exactly the N-th poll after submit, blocking for the worker
+        if needed."""
+        if self._service_polls > 0 and self._busy:
+            self._polls_since_submit += 1
+            if self._polls_since_submit < self._service_polls:
+                return None
+            return self.flush()
         try:
             res = self._out.get_nowait()
         except queue.Empty:
@@ -121,7 +152,9 @@ class AsyncMapper:
             smap, kf, snap_vis, snap_found = item
             try:
                 smap.last_compaction_lut = None
-                metrics = self.local_mapper.process_keyframe(smap, kf)
+                metrics = self.local_mapper.process_keyframe(
+                    smap, kf, interrupt_ba=self.interrupt_ba.is_set,
+                    kf_queued=self.kf_queued.is_set)
                 # compaction during mapping remaps point ids; hand the LUT
                 # to the tracker so it can remap its in-flight associations
                 lut = smap.last_compaction_lut

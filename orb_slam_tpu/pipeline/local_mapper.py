@@ -71,9 +71,25 @@ class LocalMapper:
             row.astype(np.int64), self.cfg.loop.covisibility_weight_min)
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, smap: mapstore.SlamMap, kf: int) -> dict:
+    def process_keyframe(self, smap: mapstore.SlamMap, kf: int,
+                         interrupt_ba=None, kf_queued=None) -> dict:
         """Reference stage order (LocalMapping::Run, src/LocalMapping.cc:46-119):
-        process -> cull points -> triangulate -> fuse neighbors -> local BA."""
+        process -> cull points -> triangulate -> fuse neighbors -> local BA.
+
+        interrupt_ba / kf_queued: zero-arg callables polled between stages,
+        the reference's two keyframe-pressure release valves:
+          * kf_queued — the CheckNewKeyFrames gate: SearchInNeighbors, the
+            local BA, and KeyFrameCulling all run only while the keyframe
+            queue is empty (src/LocalMapping.cc:58-66).  A starved tracker
+            waiting to force-insert is a queued keyframe, so fuse + BA +
+            culling are skipped and the next keyframe's pass covers this
+            window.
+          * interrupt_ba — mbAbortBA via InterruptBA, set by NeedNewKeyFrame
+            when mapping is busy (src/Tracking.cc:679-685): only the BA is
+            dropped; culling still runs (it sits inside the same queue gate,
+            not the abort flag).  A compiled LM program cannot be aborted
+            mid-flight, so the abort is polled before dispatch — an
+            iteration-0 abort rather than g2o's between-iterations one."""
         metrics = {}
         # (no stats refresh before culling: MapPointCulling reads only the
         # found/visible ratio and observation counts, src/LocalMapping.cc:
@@ -88,6 +104,9 @@ class LocalMapper:
             # the stats refresh) did not run — refresh standalone
             with _timer.stage("mapping", "pointStats"):
                 self.refresh_point_stats(smap)
+        if kf_queued is not None and kf_queued():
+            metrics["skipped_for_queued_kf"] = True
+            return metrics
         with _timer.stage("mapping", "fuse"):
             metrics["fused"] = self.fuse_neighbors(smap, kf)
         with _timer.stage("mapping", "pointStats"):
@@ -101,8 +120,19 @@ class LocalMapper:
                 scale_factor=self.cfg.extractor.scale_factor)
             smap.state = st._replace(mp_normal=normal, mp_min_dist=min_d,
                                      mp_max_dist=max_d, mp_desc=new_desc)
-        with _timer.stage("mapping", "localBA"):
-            self.local_ba(smap, kf)
+        if kf_queued is not None and kf_queued():
+            metrics["skipped_for_queued_kf"] = True
+            return metrics
+        if interrupt_ba is not None and interrupt_ba():
+            # aborted BA still delivers phase 1 + the outlier gate — the
+            # reference polls mbAbortBA between its optimize(5) and
+            # optimize(10) calls (src/Optimizer.cc:450-494)
+            metrics["ba_interrupted"] = True
+            with _timer.stage("mapping", "localBA"):
+                self.local_ba(smap, kf, short=True)
+        else:
+            with _timer.stage("mapping", "localBA"):
+                self.local_ba(smap, kf)
         with _timer.stage("mapping", "cullKeyframes"):
             metrics["culled_kfs"] = self.cull_keyframes(smap, kf)
         return metrics
@@ -625,12 +655,21 @@ class LocalMapper:
                                 for p in P_caps)):
             for K_cap in sorted(set(min(k, K_hi) for k in K_caps)):
                 self.local_ba(smap, center_kf, force_caps=(K_cap, P_cap))
+                # the interrupted schedule (phase2=False) is its own
+                # compile bucket per (K, P) — only reachable when the
+                # keyframe-pressure valve is enabled
+                if self.cfg.tracker.interrupt_ba:
+                    self.local_ba(smap, center_kf,
+                                  force_caps=(K_cap, P_cap), short=True)
         for T in T_caps:
             self.fuse_neighbors(smap, center_kf, force_t_cap=T)
 
     def local_ba(self, smap: mapstore.SlamMap, center_kf: int,
-                 force_caps=None):
-        """Covisible window + its points + fixed boundary observers."""
+                 force_caps=None, short: bool = False):
+        """Covisible window + its points + fixed boundary observers.
+        short=True is the interrupted schedule: phase 1 + outlier gate
+        only (mbAbortBA between optimize(5) and optimize(10),
+        src/Optimizer.cc:450-494)."""
         mc = self.cfg.map
         st = smap.state
         weights = self._covis_row_np(smap, center_kf)
@@ -665,7 +704,8 @@ class LocalMapper:
             smap, window, fixed_kfs, point_ids, force_caps=force_caps)
         if len(window) <= 1 and not point_ids.size:
             return
-        res = self._run_ba(Rs, ts, Xs, fixed, edges, two_phase=True)
+        res = self._run_ba(Rs, ts, Xs, fixed, edges, two_phase=True,
+                           phase2=not short)
         self._write_back(smap, res, book)
 
     def global_ba(self, smap: mapstore.SlamMap):
@@ -684,10 +724,13 @@ class LocalMapper:
         res = self._run_ba(Rs, ts, Xs, fixed, edges, two_phase=False)
         self._write_back(smap, res, book)
 
-    def _run_ba(self, Rs, ts, Xs, fixed, edges, two_phase: bool):
+    def _run_ba(self, Rs, ts, Xs, fixed, edges, two_phase: bool,
+                phase2: bool = True):
         """Dispatch BA to the distributed landmark-sharded solver when the
         mesh config requests >1 device (BASELINE configs 4-5: the system's
-        BA, not a side demo), else the single-device solver."""
+        BA, not a side demo), else the single-device solver.  phase2=False
+        (the interrupted schedule) applies only to the single-device
+        solver — the sharded path always runs its full schedule."""
         n_shards = self.cfg.mesh.data_parallel
         if n_shards > 1 and len(jax.devices()) >= n_shards:
             from ..parallel import dist_ba
@@ -698,7 +741,8 @@ class LocalMapper:
                 axis=self.cfg.mesh.data_axis)
         return ba.bundle_adjust(Rs, ts, Xs, fixed, edges, self.cam,
                                 self.cfg.solver, two_phase=two_phase,
-                                placement=self.cfg.solver.ba_placement)
+                                placement=self.cfg.solver.ba_placement,
+                                phase2=phase2)
 
     # ------------------------------------------------------------------
     def cull_keyframes(self, smap: mapstore.SlamMap, current_kf: int) -> int:

@@ -179,7 +179,8 @@ class Tracker:
         am = None
         if cfg.tracker.async_mapping:
             from .async_mapper import AsyncMapper
-            am = AsyncMapper(lm, lc)
+            am = AsyncMapper(
+                lm, lc, service_polls=cfg.tracker.mapper_service_polls)
         return Tracker(cfg=cfg, cam=cam, slam_map=smap, local_mapper=lm,
                        loop_closer=lc, async_mapper=am,
                        rng_key=jax.random.PRNGKey(cfg.seed))
@@ -670,8 +671,12 @@ class Tracker:
             if need:
                 am = self.async_mapper
                 if am is not None and am.busy:
+                    if tcfg.interrupt_ba:
+                        am.interrupt_ba.set()
                     if n_inl < 2 * tcfg.kf_min_tracked:
                         self._force_kf = True
+                        if tcfg.interrupt_ba:
+                            am.kf_queued.set()
                 else:
                     # stacked insertion: the batch-row slice happens inside
                     # the insert program (no slice_frame dispatch)
@@ -773,11 +778,16 @@ class Tracker:
             am = self.async_mapper
             if am is not None and am.busy:
                 # backpressure (SetAcceptKeyFrames, src/Tracking.cc:665-685):
-                # normally skip; but if tracking is about to starve, mark a
-                # forced insertion — executed at the next frame boundary
-                # with the pipeline empty (the InterruptBA analog)
+                # normally skip, signalling InterruptBA; if tracking is
+                # about to starve, mark a forced insertion — executed at
+                # the next frame boundary with the pipeline empty — and a
+                # queued keyframe so the worker drops its fuse/BA/cull tail
+                if tcfg.interrupt_ba:
+                    am.interrupt_ba.set()
                 if n_inl < 2 * tcfg.kf_min_tracked:
                     self._force_kf = True
+                    if tcfg.interrupt_ba:
+                        am.kf_queued.set()
             else:
                 self._create_keyframe(fd, timestamp, pid_global, metrics,
                                       frame_id=fid)
@@ -1202,7 +1212,11 @@ class Tracker:
                 # backpressure (SetAcceptKeyFrames, src/Tracking.cc:665-685):
                 # normally skip; but if tracking is about to starve, drain
                 # the worker and insert (the InterruptBA analog)
+                if tcfg.interrupt_ba:
+                    am.interrupt_ba.set()
                 if n_inl < 2 * tcfg.kf_min_tracked:
+                    if tcfg.interrupt_ba:
+                        am.kf_queued.set()
                     res = am.flush()
                     if res is not None:
                         self._commit_mapping(res, metrics)

@@ -99,7 +99,11 @@ def render_image(X, patches, R, t, K, width=640, height=480):
     return img
 
 
-def endurance_config(max_keyframes=48, frame_batch=4, vocab_path=""):
+def endurance_config(max_keyframes=48, frame_batch=4, vocab_path="",
+                     service_polls=0):
+    """service_polls > 0 pins the mapping worker's visible service
+    interval (TrackerConfig.mapper_service_polls) so the whole run is
+    reproducible across machines/loads; 0 = live timing (artifacts)."""
     import dataclasses
     from orb_slam_tpu.config import (CameraConfig, ExtractorConfig, MapConfig,
                                      MatcherConfig, SystemConfig)
@@ -117,7 +121,8 @@ def endurance_config(max_keyframes=48, frame_batch=4, vocab_path=""):
         cfg = cfg.replace(loop=dataclasses.replace(
             cfg.loop, vocab_path=vocab_path))
     return cfg.replace(tracker=dataclasses.replace(
-        cfg.tracker, async_mapping=True, frame_batch=frame_batch))
+        cfg.tracker, async_mapping=True, frame_batch=frame_batch,
+        mapper_service_polls=service_polls))
 
 
 def default_vocab100k():
@@ -130,7 +135,7 @@ def default_vocab100k():
 
 def run_endurance(n_frames=2000, frames_per_lap=400, max_keyframes=48,
                   frame_batch=4, seed=7, verbose=True, vocab_path="",
-                  blackout=None):
+                  blackout=None, service_polls=0):
     """Returns the results dict (and leaves the System shut down).
 
     blackout=(start_frame, n): feed n featureless frames starting at
@@ -140,7 +145,8 @@ def run_endurance(n_frames=2000, frames_per_lap=400, max_keyframes=48,
     from orb_slam_tpu.pipeline.system import System
 
     rng = np.random.default_rng(seed)
-    cfg = endurance_config(max_keyframes, frame_batch, vocab_path)
+    cfg = endurance_config(max_keyframes, frame_batch, vocab_path,
+                           service_polls=service_polls)
     X, patches = build_world(rng)
     poses, gt_centers = lap_poses(n_frames, frames_per_lap, rng)
     K = cfg.camera.K

@@ -61,6 +61,72 @@ def test_async_pipeline_tracks_and_maps():
     assert tr.async_mapper is not None and not tr.async_mapper.busy
 
 
+def test_keyframe_pressure_gates():
+    """The reference's two release valves under keyframe pressure
+    (src/LocalMapping.cc:58-66, src/Tracking.cc:679-685): a queued
+    keyframe skips fuse+BA+culling after triangulation; InterruptBA drops
+    only the BA while culling still runs."""
+    from orb_slam_tpu.pipeline.async_mapper import snapshot_map
+
+    system = _run(async_mapping=True)
+    tr = system.tracker
+    am = tr.async_mapper
+    lm = am.local_mapper
+    kf = int(np.where(tr.slam_map.kf_valid_np)[0].max())
+
+    m_q = lm.process_keyframe(snapshot_map(tr.slam_map), kf,
+                              kf_queued=lambda: True)
+    assert m_q.get("skipped_for_queued_kf")
+    assert "fused" not in m_q and "culled_kfs" not in m_q
+
+    m_i = lm.process_keyframe(snapshot_map(tr.slam_map), kf,
+                              interrupt_ba=lambda: True)
+    assert m_i.get("ba_interrupted")
+    assert "fused" in m_i and "culled_kfs" in m_i
+
+    m_full = lm.process_keyframe(snapshot_map(tr.slam_map), kf)
+    assert "ba_interrupted" not in m_full and "culled_kfs" in m_full
+
+    # the events are job-scoped: stale signals must not leak into the
+    # next submission
+    am.interrupt_ba.set()
+    am.kf_queued.set()
+    am.submit(tr.slam_map, kf)
+    assert not am.interrupt_ba.is_set() and not am.kf_queued.is_set()
+    am.flush()
+
+
+def test_pinned_service_interval():
+    """service_polls pins the worker's VISIBLE service interval: the
+    result surfaces at exactly the N-th poll after submit regardless of
+    how fast the thread actually ran — the determinism contract that
+    makes long async-pipeline tests reproducible across machines."""
+    import time
+    from orb_slam_tpu.pipeline.async_mapper import AsyncMapper
+
+    class InstantMapper:
+        last_culled_kfs = []
+
+        def process_keyframe(self, smap, kf, **kw):
+            return {"ok": True}
+
+    class FakeMap:
+        last_compaction_lut = None
+
+    am = AsyncMapper(InstantMapper(), None, service_polls=4)
+    fake = FakeMap()
+    am._busy = True   # bypass snapshot_map: submit real payload directly
+    am.interrupt_ba.clear(); am.kf_queued.clear()
+    am._polls_since_submit = 0
+    am._in.put((fake, 0, None, None))
+    time.sleep(0.2)   # let the instant job actually finish
+    for _ in range(3):
+        assert am.poll() is None and am.busy
+    res = am.poll()
+    assert res is not None and res.metrics.get("ok") and not am.busy
+    am.shutdown()
+
+
 def test_async_matches_sync_scale():
     """Async and sync runs of the same sequence agree on gross map scale and
     trajectory direction (not bitwise: commit timing differs by design)."""
