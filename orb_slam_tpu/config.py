@@ -121,13 +121,25 @@ class TrackerConfig:
     min_init_matches: int = 100       # SearchForInitialization >=100 (Tracking.cc:368)
     min_track_inliers: int = 10       # TrackPreviousFrame/MotionModel success (Tracking.cc:252)
     min_localmap_inliers: int = 30    # TrackLocalMap success (Tracking.cc:641-647)
-    min_localmap_inliers_reloc: int = 50  # stricter shortly after reloc
-    reloc_recent_frames_mult: int = 2     # "recent" = 2*fps frames after reloc
+    # stricter floor within max_frames_between_kf (mMaxFrames) frames of
+    # a relocalisation (Tracking.cc:640-647)
+    min_localmap_inliers_reloc: int = 50
     max_local_keyframes: int = 80     # local KF cap (Tracking.cc:819)
     min_frames_between_kf: int = 0    # mMinFrames (Tracking.cc:78)
     max_frames_between_kf: int = 18   # mMaxFrames = 18*fps/30 (Tracking.cc:79)
     kf_min_tracked_ratio: float = 0.9  # need-new-KF: tracked < 90% of ref KF (Tracking.cc:672)
-    kf_min_tracked: int = 50          # and at least 50 tracked points
+    # NeedNewKeyFrame's lower inlier gate: the reference inserts whenever
+    # mnMatchesInliers > 15 (c2, Tracking.cc:672).  This was 50 through
+    # r5 — a misread of the post-reloc tracking-success threshold
+    # (Tracking.cc:641) — which deadlocked marginal stretches: 30-49-
+    # inlier tracking could never insert the keyframe that would extend
+    # the map, and the endurance world spiralled into losses (~200
+    # insertion-free frames before each episode, diagnosed under the
+    # pinned-schedule run; see test_endurance).
+    kf_min_inliers_insert: int = 15
+    # "healthy tracking" level: the starvation heuristic forces a
+    # keyframe through backpressure when inliers fall below 2x this
+    kf_min_tracked: int = 50
     reset_if_lost_before_kfs: int = 5  # early-failure full reset (Tracking.cc:278-285)
     use_motion_model: bool = True     # UseMotionModel flag (Settings.yaml:44)
     # run local mapping + loop closing on a worker thread over functional map

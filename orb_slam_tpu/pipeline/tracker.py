@@ -415,12 +415,15 @@ class Tracker:
             jnp.asarray(image, jnp.float32), ecfg, n_feat, cap, use_pallas)
 
     def _inlier_floor(self, frame_id: int) -> int:
-        """TrackLocalMap acceptance floor: 50 inliers within
-        reloc_recent_frames_mult*fps frames of a relocalisation, 30
-        otherwise (src/Tracking.cc:272-275)."""
+        """TrackLocalMap acceptance floor: 50 inliers within mMaxFrames
+        (= max_frames_between_kf, 18 at 30 fps) of a relocalisation, 30
+        otherwise (src/Tracking.cc:640-647).  Through r5 the window was
+        2*fps = 60 frames — 3.3x the reference's — which made marginal
+        (30-49-inlier) stretches self-perpetuating: every reloc re-armed
+        a long 50-floor window that the next frames re-failed."""
         tcfg = self.cfg.tracker
-        recent = frame_id - self.last_reloc_frame_id < int(
-            tcfg.reloc_recent_frames_mult * self.cfg.camera.fps)
+        recent = (frame_id - self.last_reloc_frame_id
+                  < tcfg.max_frames_between_kf)
         return (tcfg.min_localmap_inliers_reloc if recent
                 else tcfg.min_localmap_inliers)
 
@@ -691,7 +694,13 @@ class Tracker:
 
     def _abort_batch_rows(self, out, recs, start: int, n_real: int):
         """Post-loss rows of a batch: route their device-resident features
-        through the staged state machine (reloc / re-initialization)."""
+        through the staged state machine — reloc / re-initialization, and
+        once a mid-batch reloc recovers, staged WORKING tracking for the
+        remaining rows.  (Through r5 recovered-state rows were silently
+        dropped: no pose record and no keyframe decision, so every loss
+        threw away up to frame_batch-1 frames — the reference processes
+        every frame in whatever state the tracker is in,
+        src/Tracking.cc:181-298.)"""
         for b in range(start, n_real):
             fd = self._materialize_frame(out, b)
             r = recs[b]
@@ -703,6 +712,8 @@ class Tracker:
                     self._initialize(fd, r["timestamp"], r["metrics"])
                 elif self.state == TrackState.LOST:
                     self._relocalize(fd, r["timestamp"], r["metrics"])
+                elif self.state == TrackState.WORKING:
+                    self._track(fd, r["timestamp"], r["metrics"])
             finally:
                 self.frame_id = saved
 
@@ -809,7 +820,7 @@ class Tracker:
             or (n_inl < tcfg.kf_min_tracked_ratio
                 * max(self.n_ref_tracked, 1)
                 and frames_since >= tcfg.min_frames_between_kf)
-        ) and n_inl >= tcfg.kf_min_tracked
+        ) and n_inl > tcfg.kf_min_inliers_insert
 
     def _abort_pipe(self):
         """After a loss/reset detected at retire time: frames dispatched
@@ -837,6 +848,10 @@ class Tracker:
                     self._initialize(fd, rec["timestamp"], rec["metrics"])
                 elif self.state == TrackState.LOST:
                     self._relocalize(fd, rec["timestamp"], rec["metrics"])
+                elif self.state == TrackState.WORKING:
+                    # a mid-abort reloc recovered: keep tracking the rest
+                    # of the in-flight frames instead of dropping them
+                    self._track(fd, rec["timestamp"], rec["metrics"])
             finally:
                 self.frame_id = saved
 
@@ -1239,6 +1254,10 @@ class Tracker:
                 self._commit_mapping(res, metrics)
         lc = self.loop_closer
         if lc is None or lc.voc is None or self.slam_map.n_kf == 0:
+            if self.last_R is not None:
+                self.trajectory.append(FrameRecord(
+                    self.frame_id, timestamp, np.asarray(self.last_R),
+                    np.asarray(self.last_t), False))
             return
         st = self.slam_map.state
         bow = voc_mod.transform_np(
@@ -1404,6 +1423,14 @@ class Tracker:
                 self.frame_id, timestamp, np.asarray(R_cur),
                 np.asarray(t_cur), True))
             return
+
+        # every attempted frame leaves a record (trajectory completeness:
+        # a live consumer sees an explicit untracked pose, not a gap);
+        # last known pose is the best available estimate while LOST
+        if self.last_R is not None:
+            self.trajectory.append(FrameRecord(
+                self.frame_id, timestamp, np.asarray(self.last_R),
+                np.asarray(self.last_t), False))
 
     # ------------------------------------------------------------------
     def _local_points(self, seed_pids: Optional[np.ndarray] = None) -> dict:

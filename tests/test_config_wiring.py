@@ -118,8 +118,11 @@ def test_init_extraction_uses_features_mult():
 
 
 def test_reloc_recent_window_raises_inlier_floor():
-    """Tracking.cc:272-275: 50 inliers required for reloc_recent_frames_mult
-    * fps frames after a relocalisation, 30 otherwise."""
+    """Tracking.cc:640-647: 50 inliers required within mMaxFrames
+    (= max_frames_between_kf) frames of a relocalisation, 30 otherwise.
+    The window was 2*fps = 60 frames through r5 — 3.3x the reference —
+    which let marginal stretches spiral (each reloc re-armed a long
+    50-floor window the next 30-49-inlier frames re-failed)."""
     from orb_slam_tpu.config import SystemConfig, CameraConfig
     from orb_slam_tpu.pipeline.tracker import Tracker
 
@@ -127,11 +130,13 @@ def test_reloc_recent_window_raises_inlier_floor():
         fx=500, fy=500, cx=160, cy=120, k1=0, k2=0, p1=0, p2=0, k3=0,
         width=320, height=240, fps=30.0))
     tr = Tracker.create(cfg)
+    w = cfg.tracker.max_frames_between_kf
     assert tr._inlier_floor(100) == cfg.tracker.min_localmap_inliers
     tr.last_reloc_frame_id = 100
     assert tr._inlier_floor(100) == cfg.tracker.min_localmap_inliers_reloc
-    assert tr._inlier_floor(159) == cfg.tracker.min_localmap_inliers_reloc
-    assert tr._inlier_floor(160) == cfg.tracker.min_localmap_inliers
+    assert tr._inlier_floor(100 + w - 1) == \
+        cfg.tracker.min_localmap_inliers_reloc
+    assert tr._inlier_floor(100 + w) == cfg.tracker.min_localmap_inliers
 
 
 def _megastep_args():
