@@ -126,6 +126,15 @@ def test_batched_loss_mid_batch_recovers():
     # lost frames recorded as untracked, not silently dropped
     lost = [f for f in range(14, 18) if f in rec and not rec[f].tracked]
     assert lost, "blackout frames should appear untracked"
+    # trajectory completeness (r5): once the map exists, EVERY frame —
+    # tracked, lost, mid-batch-aborted, or recovered — leaves exactly one
+    # record; a live consumer never sees a gap.  (Pre-init frames carry no
+    # pose by definition — the reference's trajectory also starts at the
+    # initialized map, src/Tracking.cc:181-205.)
+    tracked_fids = sorted(f for f in rec if rec[f].tracked)
+    first = tracked_fids[1]   # 2nd init view: the map exists from here
+    missing = [f for f in range(first, 26) if f not in rec]
+    assert not missing, f"frames with no trajectory record: {missing}"
     # after texture returns the system relocalizes (or it reset+reinit —
     # either way it must end WORKING and track the tail)
     assert system.tracker.state == TrackState.WORKING
