@@ -209,6 +209,10 @@ def main():
     t_w = time.perf_counter()
     system.tracker.async_mapper.local_mapper.prewarm_ba_buckets(
         system.tracker.slam_map, system.tracker.slam_map.n_kf - 1)
+    # both mapping-commit program variants: the compaction-LUT one
+    # otherwise compiles at the first in-run pool compaction (observed as
+    # a multi-second commitMapping stall)
+    system.tracker.prewarm_commit_variants()
     print(f"# bucket prewarm: {time.perf_counter() - t_w:.1f}s "
           "(unmeasured)", flush=True)
 

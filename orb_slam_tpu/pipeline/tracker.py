@@ -319,6 +319,25 @@ class Tracker:
             self.vel_R, self.vel_t = None, None
             self.local_mapper.refresh_point_stats(self.slam_map)
 
+    def prewarm_commit_variants(self):
+        """Compile both mapping-commit program variants (with and without
+        a compaction LUT, _commit_stats_jit) ahead of any measured
+        window: the has_lut=True variant otherwise compiles at the FIRST
+        pool compaction — observed as a multi-second commitMapping stall
+        wherever that commit lands.  Identity LUT + zero deltas makes the
+        warm calls semantic no-ops."""
+        st = self.slam_map.state
+        P = self.cfg.map.max_points
+        cap = self.cfg.extractor.max_keypoints
+        pid = jnp.zeros(cap, jnp.int32)
+        for lut, has in ((jnp.zeros(0, jnp.int32), False),
+                         (jnp.arange(P, dtype=jnp.int32), True)):
+            out = _commit_stats_jit(
+                st.mp_visible, st.mp_found, st.mp_visible, st.mp_found,
+                st.mp_visible, st.mp_found, lut, st.mp_pos, pid,
+                has_lut=has)
+            jax.block_until_ready(out)
+
     def finish(self):
         """Flush in-flight mapping work and commit (call before exporting
         the trajectory/map — the reference joins its threads at shutdown)."""
