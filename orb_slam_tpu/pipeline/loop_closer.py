@@ -294,13 +294,17 @@ class LoopCloser:
             # (Optimizer::OptimizeSim3, LoopClosing.cc:328)
             isig1 = 1.0 / jnp.maximum(me1 / 9.21, 1e-9)
             isig2 = 1.0 / jnp.maximum(me2 / 9.21, 1e-9)
-            ref = sim3_opt.optimize_sim3(
-                res.s, res.R, res.t, X1, X2,
-                st.kf_xy[kf], st.kf_xy[cand][jnp.asarray(idx2)],
-                isig1, isig2, res.inliers, K,
-                chi2_th=self.cfg.solver.sim3_chi2,
-                iters1=self.cfg.solver.sim3_iters1,
-                iters2=self.cfg.solver.sim3_iters2)
+            # same accuracy contract as BA (BA_PRECISION_r05.json): the
+            # TPU default bf16 matmul passes degrade GN convergence
+            with jax.default_matmul_precision(
+                    self.cfg.solver.ba_matmul_precision):
+                ref = sim3_opt.optimize_sim3(
+                    res.s, res.R, res.t, X1, X2,
+                    st.kf_xy[kf], st.kf_xy[cand][jnp.asarray(idx2)],
+                    isig1, isig2, res.inliers, K,
+                    chi2_th=self.cfg.solver.sim3_chi2,
+                    iters1=self.cfg.solver.sim3_iters1,
+                    iters2=self.cfg.solver.sim3_iters2)
             if int(ref.n_inliers) < self.cfg.loop.min_sim3_inliers:
                 continue
             # guided projection matching through the refined Sim3
@@ -501,19 +505,24 @@ class LoopCloser:
         )
         fixed = jnp.asarray(np.arange(n_kf) == loop_kf)
         n_shards = self.cfg.mesh.model_parallel
-        if n_shards > 1 and len(jax.devices()) >= n_shards:
-            # keyframe-block-sharded edges + psum'd reduced system
-            # (parallel/dist_pose_graph.py, BASELINE config 5)
-            from ..parallel import dist_pose_graph
-            s_new, R_new, t_new, _ = \
-                dist_pose_graph.optimize_essential_graph_dist(
+        # accuracy contract shared with BA (BA_PRECISION_r05.json): trace
+        # the graph GN under the configured f32 matmul precision — the
+        # reference solves this in g2o's f64 (Optimizer.cc:540-789)
+        with jax.default_matmul_precision(
+                self.cfg.solver.ba_matmul_precision):
+            if n_shards > 1 and len(jax.devices()) >= n_shards:
+                # keyframe-block-sharded edges + psum'd reduced system
+                # (parallel/dist_pose_graph.py, BASELINE config 5)
+                from ..parallel import dist_pose_graph
+                s_new, R_new, t_new, _ = \
+                    dist_pose_graph.optimize_essential_graph_dist(
+                        s_all, R_all, t_all, fixed, edges,
+                        n_iters=self.cfg.solver.essential_graph_iters,
+                        n_shards=n_shards, axis=self.cfg.mesh.model_axis)
+            else:
+                s_new, R_new, t_new, _ = pose_graph.optimize_essential_graph(
                     s_all, R_all, t_all, fixed, edges,
-                    n_iters=self.cfg.solver.essential_graph_iters,
-                    n_shards=n_shards, axis=self.cfg.mesh.model_axis)
-        else:
-            s_new, R_new, t_new, _ = pose_graph.optimize_essential_graph(
-                s_all, R_all, t_all, fixed, edges,
-                n_iters=self.cfg.solver.essential_graph_iters)
+                    n_iters=self.cfg.solver.essential_graph_iters)
 
         # re-map landmarks through their reference keyframes: points the
         # propagation corrected use their correcting member's PROPAGATED
