@@ -179,6 +179,16 @@ class TrackerConfig:
     # functional answer to the reference's mutex/race surface
     # (SURVEY.md §5.2).
     mapper_service_polls: int = 0
+    # Start the per-batch host-blob D2H transfer at DISPATCH time
+    # (jax.Array.copy_to_host_async) instead of at retire time: under
+    # depth-1 pipelining the blob is consumed one batch period after its
+    # program is enqueued, so on relay-tunneled runtimes the ~1-RTT
+    # fetchHostBlob stall overlaps the next batch's fill/dispatch —
+    # lowering both pose latency and the per-batch period.  Value-
+    # neutral (the transfer is of committed program outputs); if the
+    # runtime's PJRT client rejects async D2H the tracker falls back to
+    # the synchronous fetch after the first failure.
+    prefetch_host_blob: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -129,6 +129,9 @@ class Tracker:
     # features (materialized lazily — slicing costs a dispatch)
     _batch_buf: List[dict] = field(default_factory=list)
     _last_stacked: Optional[tuple] = None
+    # sticky fallback: set when the runtime rejects async D2H once
+    # (TrackerConfig.prefetch_host_blob docs)
+    _prefetch_failed: bool = False
     last_frame: Optional[frame_mod.FrameData] = None
     last_R: Optional[jnp.ndarray] = None
     last_t: Optional[jnp.ndarray] = None
@@ -513,6 +516,7 @@ class Tracker:
 
         self._pipe.append(dict(out=out, frame_id=self.frame_id,
                                timestamp=timestamp, metrics=metrics))
+        self._start_host_prefetch(out.host_blob)
         self._chain = dict(
             desc=out.desc, level=out.level, angle=out.angle,
             pos=out.next_last_pos, valid=out.next_last_valid,
@@ -528,6 +532,18 @@ class Tracker:
         depth = 1 if self.async_mapper is not None else 0
         while len(self._pipe) > depth:
             self._retire_one()
+
+    def _start_host_prefetch(self, arr):
+        """Begin the host-blob D2H at dispatch time (value-neutral; see
+        TrackerConfig.prefetch_host_blob).  The retire-side np.asarray
+        then finds the literal already local instead of paying the relay
+        round trip on the critical path."""
+        if self._prefetch_failed or not self.cfg.tracker.prefetch_host_blob:
+            return
+        try:
+            arr.copy_to_host_async()
+        except Exception:   # PJRT client without async D2H: fetch at retire
+            self._prefetch_failed = True
 
     def _materialize_frame(self, out, b: int) -> frame_mod.FrameData:
         """Pull frame b's features out of a stacked batch output (one
@@ -623,6 +639,7 @@ class Tracker:
                 solver_cfg=self.cfg.solver, use_pallas=use_pallas,
                 min_track_inliers=tcfg.min_track_inliers)
         self._pipe.append(dict(out=out, recs=recs, n_real=n_real))
+        self._start_host_prefetch(out.host_blob)
         if n_real == B:
             self._chain = dict(
                 desc=out.last_desc, level=out.last_level,

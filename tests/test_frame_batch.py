@@ -17,7 +17,7 @@ from synthetic import rotmat
 from test_image_e2e import render_image
 
 
-def run_system(frame_batch, n_frames=20):
+def run_system(frame_batch, n_frames=20, **tracker_kw):
     rng = np.random.default_rng(5)
     n_pts = 500
     X = np.stack([
@@ -37,7 +37,8 @@ def run_system(frame_batch, n_frames=20):
         map=MapConfig(max_keyframes=32, max_points=4096,
                       local_ba_max_kfs=8, local_ba_max_fixed=8,
                       local_ba_max_points=2048),
-        tracker=TrackerConfig(async_mapping=True, frame_batch=frame_batch),
+        tracker=TrackerConfig(async_mapping=True, frame_batch=frame_batch,
+                              **tracker_kw),
     )
     system = System.create(cfg)
     K = cfg.camera.K
@@ -141,6 +142,25 @@ def test_batched_loss_mid_batch_recovers():
     tail_tracked = sum(1 for f in range(20, 26)
                        if f in rec and rec[f].tracked)
     assert tail_tracked >= 3, tail_tracked
+
+
+@pytest.mark.slow
+def test_prefetch_host_blob_is_value_neutral():
+    """prefetch_host_blob only moves the D2H start to dispatch time
+    (copy_to_host_async) — with the mapper service interval pinned, the
+    trajectory must be IDENTICAL to the synchronous-fetch run."""
+    kw = dict(mapper_service_polls=4)
+    s_off = run_system(frame_batch=4, **kw)
+    s_on = run_system(frame_batch=4, prefetch_host_blob=True, **kw)
+    assert not s_on.tracker._prefetch_failed   # CPU PJRT supports async D2H
+    t_off = {r.frame_id: r for r in s_off.tracker.trajectory}
+    t_on = {r.frame_id: r for r in s_on.tracker.trajectory}
+    assert t_off.keys() == t_on.keys()
+    for f, a in t_off.items():
+        b = t_on[f]
+        assert a.tracked == b.tracked, f
+        np.testing.assert_array_equal(a.R, b.R, err_msg=str(f))
+        np.testing.assert_array_equal(a.t, b.t, err_msg=str(f))
 
 
 def test_frame_batch_clamped_to_keyframe_cadence():
