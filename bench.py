@@ -164,7 +164,13 @@ def main():
         # batch and the map resets).  16 is the live optimum.
         tracker=TrackerConfig(
             async_mapping=True,
-            frame_batch=int(os.environ.get("ORB_SLAM_TPU_FRAME_BATCH", 16))),
+            frame_batch=int(os.environ.get("ORB_SLAM_TPU_FRAME_BATCH", 16)),
+            # dispatch-time async D2H of the per-batch host blob: measured
+            # through the relay a >=1-batch-period-old readback drops from
+            # ~25 ms to ~0.2 ms (probe 2026-08-20), hiding fetchHostBlob
+            # behind the next batch's fill/dispatch
+            prefetch_host_blob=bool(int(
+                os.environ.get("ORB_SLAM_TPU_PREFETCH", "0")))),
     )
     system = System.create(cfg)
     K = cfg.camera.K
