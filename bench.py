@@ -170,7 +170,7 @@ def main():
             # ~25 ms to ~0.2 ms (probe 2026-08-20), hiding fetchHostBlob
             # behind the next batch's fill/dispatch
             prefetch_host_blob=bool(int(
-                os.environ.get("ORB_SLAM_TPU_PREFETCH", "0")))),
+                os.environ.get("ORB_SLAM_TPU_PREFETCH", "1")))),
     )
     system = System.create(cfg)
     K = cfg.camera.K
